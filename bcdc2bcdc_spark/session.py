@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Single place where execution-relevant confs live so tests, bench and the
+driver entrypoint all run the same engine configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the sandbox (local[32], 128 GiB); on a real cluster
+# these are overridden via spark-submit --conf. AQE stays on everywhere:
+# it re-plans shuffles at runtime (coalesce small partitions, split skewed
+# ones, demote/promote broadcast joins) which is exactly what a 100 TB run
+# needs and costs nothing at test scale.
+_DEFAULT_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDFs (digest + schema-reconciliation boundary).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic timestamps across Spark and the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Needed by the parquet lake backend: overwrite ONLY the bucket
+    # partitions present in the upsert output, leave the rest untouched.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # Quieter, smaller driver at test scale.
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "bcdc2bcdc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    ``shuffle_partitions`` defaults to the parallelism level — at sandbox
+    scale one shuffle partition per core; on a cluster set it (or rely on
+    AQE coalescing) to target ~128 MB per shuffle partition.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    else:
+        conf.setdefault("spark.sql.shuffle.partitions", "32")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

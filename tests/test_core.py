@@ -1,0 +1,167 @@
+"""Core operator tests: generator invariants, digest parity, LWW strategy
+equivalence, snapshot diff vs manifest, apply vs pandas oracle."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bcdc2bcdc_spark.functions.canonicalize import canonicalize_events, canonicalize_snapshot
+from bcdc2bcdc_spark.functions.digest import sha256_arrow, sha256_expr, with_row_digest
+from bcdc2bcdc_spark.generator import IGNORED_REPOS, gen_events, gen_repos, gen_snapshot_pair
+from bcdc2bcdc_spark.operators.apply import apply_changes
+from bcdc2bcdc_spark.operators.diff import datasets_equal, snapshot_diff
+from bcdc2bcdc_spark.operators.lww import lww_dedup
+
+from tests.oracle import content_sha_index, replay
+
+
+def test_generator_base_invariants(spark):
+    base = gen_repos(spark, n_keys=500, seed=42)
+    assert base.count() == 500
+    assert base.select("repo", "path").distinct().count() == 500  # key-unique
+    assert base.filter(F.length("commit") != 40).count() == 0
+    # determinism across invocations
+    again = gen_repos(spark, n_keys=500, seed=42)
+    assert datasets_equal(base, again)
+    # skew present: top repo owns ≥25% of keys
+    top = base.groupBy("repo").count().orderBy(F.desc("count")).first()
+    assert top["count"] >= 125
+
+
+def test_generator_events_dirtiness(spark):
+    ev = gen_events(spark, n_events=4000, n_keys=800, n_epochs=4, seed=42)
+    assert ev.count() == 4000
+    # duplicate keys within an epoch (forces LWW)
+    dups = ev.groupBy("epoch", "repo", "path").count().filter("count > 1").count()
+    assert dups > 0
+    # event_seq unique, commit lexically monotone in event_seq per key
+    assert ev.select("event_seq").distinct().count() == 4000
+    # None-ish noise exists
+    assert ev.filter(F.col("lang").isin("None", "")).count() > 0
+    # DELETE carries null content
+    assert ev.filter((F.col("op") == "DELETE") & F.col("content").isNotNull()).count() == 0
+    # hot-key hammer: ≥15% of events on some single repo
+    top = ev.groupBy("repo").count().orderBy(F.desc("count")).first()
+    assert top["count"] >= 0.15 * 4000
+    # ops all valid
+    assert ev.filter(~F.col("op").isin("ADD", "UPDATE", "DELETE")).count() == 0
+
+
+def test_digest_arrow_jvm_parity(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("",), ("None",), ("x" * 5000,), ("naïve ünïcode",)],
+        ["v"],
+    )
+    got = df.select(
+        sha256_expr(F.col("v")).alias("jvm"), sha256_arrow(F.col("v")).alias("arrow")
+    )
+    assert got.filter(F.col("jvm") != F.col("arrow")).count() == 0
+    # row digest parity across impls on a multi-column payload
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=300))
+    a = with_row_digest(base, ["lang", "content"], "d", impl="arrow")
+    j = with_row_digest(base, ["lang", "content"], "d", impl="jvm")
+    assert (
+        a.select("repo", "path", "d").exceptAll(j.select("repo", "path", "d")).count() == 0
+    )
+
+
+def test_digest_distinguishes_null_empty_after_no_canon(spark):
+    df = spark.createDataFrame([(None,), ("",)], ["v"])
+    vals = [r["d"] for r in df.select(sha256_expr(F.col("v")).alias("d")).collect()]
+    assert vals[0] != vals[1]  # raw: null ≠ '' ; canonicalization is what unifies
+
+
+@pytest.mark.parametrize("strategy", ["window", "maxby", "salted"])
+def test_lww_strategies_equivalent(spark, strategy):
+    ev = gen_events(spark, n_events=3000, n_keys=300, n_epochs=1, seed=1)
+    ref = lww_dedup(ev, strategy="window").orderBy("repo", "path")
+    got = lww_dedup(ev, strategy=strategy).orderBy("repo", "path")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    # exactly one winner per key
+    assert got.groupBy("repo", "path").count().filter("count > 1").count() == 0
+    # winner is the max (commit, event_seq)
+    mx = ev.groupBy("repo", "path").agg(F.max(F.struct("commit", "event_seq")).alias("m"))
+    chk = got.join(mx, ["repo", "path"]).filter(
+        (F.col("commit") != F.col("m.commit")) | (F.col("event_seq") != F.col("m.event_seq"))
+    )
+    assert chk.count() == 0
+
+
+def test_snapshot_diff_matches_manifest(spark):
+    src, dest, manifest = gen_snapshot_pair(spark, n_keys=1000, seed=7)
+    diff = snapshot_diff(src, dest).cache()
+    got = {r["op"]: r["count"] for r in diff.groupBy("op").count().collect()}
+    assert got.get("ADD", 0) == manifest["n_add"]
+    assert got.get("DELETE", 0) == manifest["n_delete"]
+    assert got.get("UPDATE", 0) == manifest["n_update"]
+    # falsy-only rows classified unchanged → absent from the diff entirely
+    total = diff.count()
+    assert total == manifest["n_add"] + manifest["n_delete"] + manifest["n_update"]
+    diff.unpersist()
+
+
+def test_diff_then_apply_converges(spark):
+    """apply(dest, diff(src, dest)) must equal src — the reference's whole
+    program as two engine calls (replay-convergence, D3)."""
+    src, dest, _ = gen_snapshot_pair(spark, n_keys=800, seed=11)
+    change_set = snapshot_diff(src, dest)
+    final = apply_changes(canonicalize_snapshot(dest), change_set)
+    assert datasets_equal(final, src)
+    # and the diff of equals is empty / idempotent re-apply changes nothing
+    assert datasets_equal(apply_changes(final, snapshot_diff(src, final)), src)
+
+
+def test_apply_matches_pandas_oracle(spark):
+    base = gen_repos(spark, n_keys=400, seed=42)
+    ev = gen_events(spark, n_events=2500, n_keys=400, n_epochs=3, seed=42)
+    base_c = canonicalize_snapshot(base)
+
+    cur = base_c
+    for epoch in sorted(r["epoch"] for r in ev.select("epoch").distinct().collect()):
+        batch = canonicalize_events(ev.filter(F.col("epoch") == epoch))
+        winners = lww_dedup(batch.drop("epoch"))
+        cur = apply_changes(cur, winners)
+    got = cur.toPandas()
+
+    oracle = replay(base.toPandas(), ev.toPandas())
+    gidx, oidx = content_sha_index(got), content_sha_index(oracle)
+    assert gidx == oidx  # per-row sha256(content) equality — the north-rule invariant
+    # full-row check too (commit/lang), via sorted frames
+    g = got.sort_values(["repo", "path"]).reset_index(drop=True)
+    o = oracle.sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, o, check_dtype=False)
+
+
+def test_cross_epoch_replay_converges(spark):
+    """Regression: applying epochs sequentially, then replaying the FULL
+    combined log once more, must be a fixpoint. Broke when generated no-op
+    commits violated per-key monotonicity (LWW associativity)."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=600, seed=42))
+    ev = gen_events(spark, n_events=3000, n_keys=600, n_epochs=2, seed=42)
+    cur = base
+    for epoch in (0, 1):
+        batch = canonicalize_events(ev.filter(F.col("epoch") == epoch)).drop("epoch")
+        cur = apply_changes(cur, lww_dedup(batch))
+    cur = cur.cache()
+    all_winners = lww_dedup(canonicalize_events(ev).drop("epoch"))
+    assert datasets_equal(apply_changes(cur, all_winners), cur)
+    cur.unpersist()
+
+
+def test_apply_idempotent_replay(spark):
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=300, seed=5))
+    ev = canonicalize_events(gen_events(spark, n_events=1500, n_keys=300, n_epochs=1, seed=5))
+    winners = lww_dedup(ev.drop("epoch"))
+    once = apply_changes(base, winners).cache()
+    twice = apply_changes(once, winners)
+    assert datasets_equal(once, twice)
+    once.unpersist()
+
+
+def test_ignored_repos_exist_in_generated_data(spark):
+    ev = gen_events(spark, n_events=5000, n_keys=1000, seed=42)
+    present = {
+        r["repo"]
+        for r in ev.filter(F.col("repo").isin(*IGNORED_REPOS)).select("repo").distinct().collect()
+    }
+    assert present  # generator produces ignore-listed traffic for the skip tests
