@@ -1,0 +1,112 @@
+"""Committed-offset checkpoints + per-partition lineage.
+
+The reference's nearest analogs are the read-through JSON snapshot cache
+(/root/reference/bcdc2bcdc/CKAN.py:259-270 — fetch once, reuse) and the
+fetch-completeness verification (CKAN.py:1239-1266). The engine needs the
+real thing: an epoch is COMMITTED only once its marker file exists; resume
+skips committed epochs; a crash after the data write but before the marker
+replays the epoch, which is safe because the upsert is deterministic and
+idempotent (see sources/lake.py).
+
+Markers are one JSON file per epoch written via temp-file + atomic rename —
+the same single-writer commit pattern Structured Streaming's
+HDFSMetadataLog uses for its offset log. Lineage rows (FIXTURES.md §4) are
+appended as parquet next to the markers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bcdc2bcdc_spark.schema import LINEAGE_SCHEMA, OP_DELETE
+
+
+@dataclass
+class CheckpointStore:
+    path: str
+
+    @property
+    def offsets_dir(self) -> str:
+        return os.path.join(self.path, "offsets")
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.path, "lineage")
+
+    def committed_epochs(self) -> set[int]:
+        if not os.path.isdir(self.offsets_dir):
+            return set()
+        out = set()
+        for name in os.listdir(self.offsets_dir):
+            if name.startswith("epoch_") and name.endswith(".json"):
+                out.add(int(name[len("epoch_") : -len(".json")]))
+        return out
+
+    def is_committed(self, epoch: int) -> bool:
+        return os.path.exists(self._marker(epoch))
+
+    def read_offsets(self, epoch: int) -> dict:
+        with open(self._marker(epoch)) as fh:
+            return json.load(fh)
+
+    def commit(self, epoch: int, offset_start: int, offset_end: int, snapshot_id: str) -> None:
+        """Atomically publish the epoch marker (write-temp + rename)."""
+        os.makedirs(self.offsets_dir, exist_ok=True)
+        marker = self._marker(epoch)
+        tmp = marker + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "epoch": epoch,
+                    "offset_start": offset_start,
+                    "offset_end": offset_end,
+                    "committed_at_snapshot": snapshot_id,
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, marker)
+
+    def _marker(self, epoch: int) -> str:
+        return os.path.join(self.offsets_dir, f"epoch_{epoch}.json")
+
+    def write_lineage(self, epoch: int, lineage_df: DataFrame) -> None:
+        """Idempotent under replay: each epoch's lineage lives in its own
+        partition directory and is OVERWRITTEN, never appended — a crashed
+        epoch replay cannot double-count."""
+        lineage_df.drop("epoch").write.mode("overwrite").parquet(
+            os.path.join(self.lineage_dir, f"epoch={epoch}")
+        )
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        if not os.path.isdir(self.lineage_dir):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        df = spark.read.parquet(self.lineage_dir)  # epoch = partition column
+        return df.withColumn("epoch", F.col("epoch").cast("long")).select(
+            *[f.name for f in LINEAGE_SCHEMA.fields]
+        )
+
+
+def lineage_metrics(batch: DataFrame, epoch: int) -> DataFrame:
+    """Per-input-partition metrics for one epoch's raw event batch:
+    (epoch, partition_id, events_applied, upserts, deletes, bytes).
+
+    One map-side partial aggregation over the batch — ``spark_partition_id``
+    keys are already co-located, so the shuffle moves O(partitions) rows.
+    Invariant (tested): sum(events_applied) == epoch event count.
+    """
+    return batch.groupBy(
+        F.lit(epoch).cast("long").alias("epoch"),
+        F.spark_partition_id().alias("partition_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("events_applied"),
+        F.sum(F.when(F.col("op") != OP_DELETE, 1).otherwise(0)).alias("upserts"),
+        F.sum(F.when(F.col("op") == OP_DELETE, 1).otherwise(0)).alias("deletes"),
+        F.sum(F.coalesce(F.octet_length("content"), F.lit(0))).cast("long").alias("bytes"),
+    )

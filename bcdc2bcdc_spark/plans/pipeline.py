@@ -1,0 +1,108 @@
+"""The CDC pipeline — tail → canonicalize → dedup → merge → commit.
+
+This is the engine's run loop, the Spark-shaped version of the reference's
+``RunUpdate`` orchestration (/root/reference/bin/runBCDC2BCDC.py:286-289 →
+extract → delta → apply, SURVEY.md §3.1):
+
+    for each uncommitted epoch (offset range of the event log):
+        canonicalize (column exprs)                 # T-family
+        drop ignore-listed repos (broadcast filter) # P3/P4
+        LWW dedup per (repo, path)                  # window/max_by/salted
+        upsert into the lake table                  # MERGE semantics
+        append per-partition lineage, commit offset marker (atomic)
+
+Epochs are the batch analog of binlog offset ranges: late events are just
+events in a later epoch; idempotent MERGE makes replays safe, so
+exactly-once reduces to "marker exists ⇒ epoch applied at least once and
+every application produced the same table".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from bcdc2bcdc_spark.functions.canonicalize import canonicalize_events
+from bcdc2bcdc_spark.generator import IGNORED_REPOS
+from bcdc2bcdc_spark.operators.lww import lww_dedup
+from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore, lineage_metrics
+from bcdc2bcdc_spark.schema import KEY_COLS, ORDER_COLS
+
+
+@dataclass
+class CDCPipeline:
+    """Applies change-event epochs to a lake table with exactly-once resume.
+
+    ``table`` is any object with ``read() -> DataFrame`` and
+    ``upsert(changes, digest_impl=...)`` (HashBucketParquetTable or
+    IcebergLakeTable). ``transforms`` are named canonicalizers applied in
+    order after the built-in null-ish canonicalization (the reference's
+    config-dispatched CustomTransformers, T4).
+    """
+
+    table: object
+    checkpoints: CheckpointStore
+    ignore_repos: tuple[str, ...] = IGNORED_REPOS
+    lww_strategy: str = "maxby"
+    n_salts: int = 16
+    digest_impl: str = "arrow"  # north-rule mandated default; "jvm" is faster
+    key_cols: Sequence[str] = KEY_COLS
+    order_cols: Sequence[str] = ORDER_COLS
+    transforms: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+
+    def prepare_batch(self, events: DataFrame) -> DataFrame:
+        """Canonicalize → ignore-filter → custom transforms → LWW dedup.
+        Pure DataFrame→DataFrame; shared by batch, resume and streaming."""
+        batch = canonicalize_events(events)
+        if self.ignore_repos:
+            # static ignore registry → broadcast-able NOT-isin filter
+            # (reference P3/P4: CKANTransform.py:232-251, CKANUpdate.py:85-117)
+            batch = batch.filter(~F.col("repo").isin(*self.ignore_repos))
+        for t in self.transforms:
+            batch = t(batch)
+        return lww_dedup(
+            batch,
+            key_cols=self.key_cols,
+            order_cols=self.order_cols,
+            strategy=self.lww_strategy,
+            n_salts=self.n_salts,
+        )
+
+    def apply_epoch(self, events: DataFrame, epoch: int) -> bool:
+        """Apply one epoch; returns False if it was already committed.
+
+        Commit order: data upsert → lineage append → offset marker. A crash
+        anywhere before the marker causes a replay whose upsert is
+        deterministic + idempotent, so the final table is unaffected;
+        lineage appends are reconciled by reading only committed epochs.
+        """
+        if self.checkpoints.is_committed(epoch):
+            return False
+        bounds = events.select(
+            F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi")
+        ).first()
+        winners = self.prepare_batch(events)
+        self.table.upsert(winners, digest_impl=self.digest_impl)
+        self.checkpoints.write_lineage(epoch, lineage_metrics(events, epoch))
+        self.checkpoints.commit(
+            epoch,
+            offset_start=bounds["lo"] if bounds["lo"] is not None else -1,
+            offset_end=bounds["hi"] if bounds["hi"] is not None else -1,
+            snapshot_id=uuid.uuid4().hex,
+        )
+        return True
+
+    def run(self, events: DataFrame, epoch_col: str = "epoch") -> dict[int, bool]:
+        """Apply every epoch present in ``events`` in ascending order,
+        skipping committed ones (resume-after-kill entrypoint)."""
+        epochs = sorted(
+            r[epoch_col] for r in events.select(epoch_col).distinct().collect()
+        )
+        results: dict[int, bool] = {}
+        for ep in epochs:
+            batch = events.filter(F.col(epoch_col) == ep).drop(epoch_col)
+            results[ep] = self.apply_epoch(batch, int(ep))
+        return results

@@ -1,0 +1,228 @@
+"""Lake table sinks — the upsert target (S7/S8/S9 as one MERGE).
+
+The reference applies its delta as sorted sequential create/update/delete
+REST calls (/root/reference/bcdc2bcdc/CKANUpdate.py:395-460) with an
+"entity exists in deleted state → update instead" fallback
+(CKAN.py:687-723). At lake scale those are the three branches of a single
+idempotent MERGE INTO. Two interchangeable backends behind one interface:
+
+* ``IcebergLakeTable``  — emits real ``MERGE INTO`` SQL against an Iceberg
+  catalog table bucketed by ``bucket(N, repo)``. The production path; the
+  runtime jar is not present in this sandbox, so only SQL generation is
+  exercised by tests (gated import-try at session build).
+* ``HashBucketParquetTable`` — same semantics on plain parquet: the table
+  is partitioned by a persisted bucket column ``_bucket =
+  pmod(xxhash64(repo, path), n_buckets)``; an upsert reads ONLY the bucket
+  partitions the change set touches (partition pruning on the read,
+  dynamic partition overwrite on the write), joins, and rewrites just
+  those buckets. Work per upsert is O(touched buckets), not O(table) —
+  the same read-amplification profile as Iceberg copy-on-write MERGE.
+
+Write-guard: like the reference's ``CKAN_DO_NOT_WRITE_URL`` check
+(CKAN.py:431-460), a table opened with ``protected=True`` refuses mutation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from bcdc2bcdc_spark.operators.apply import apply_changes
+from bcdc2bcdc_spark.operators.diff import COMPARE_COLS
+from bcdc2bcdc_spark.schema import KEY_COLS, OP_DELETE
+
+
+class ProtectedTableError(RuntimeError):
+    """Raised on any mutation of a write-guarded table (S10 analog)."""
+
+
+def _bucket_expr(key_cols: Sequence[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class HashBucketParquetTable:
+    """Parquet-backed upsert-able table, hash-bucketed by business key.
+
+    Layout::
+
+        <path>/_table.json            table metadata (keys, n_buckets)
+        <path>/data/_bucket=<i>/...   parquet, one partition dir per bucket
+
+    ``n_buckets`` sizes the upsert read amplification: a change set touching
+    k distinct buckets rewrites k/n_buckets of the table. At 100 TB pick
+    n_buckets so one bucket ≈ a few GB (e.g. 8192); at test scale 16.
+    """
+
+    spark: SparkSession
+    path: str
+    key_cols: tuple[str, ...] = KEY_COLS
+    n_buckets: int = 16
+    protected: bool = False
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.path, "_table.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.meta_path)
+
+    def _check_writable(self) -> None:
+        if self.protected:
+            raise ProtectedTableError(
+                f"table at {self.path} is write-guarded (protected=True); "
+                "refusing mutation"
+            )
+
+    def init(self, df: DataFrame) -> None:
+        """Create the table from a snapshot. Overwrites any prior state."""
+        self._check_writable()
+        (
+            df.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self.data_path)
+        )
+        os.makedirs(self.path, exist_ok=True)
+        with open(self.meta_path, "w") as fh:
+            json.dump(
+                {
+                    "key_cols": list(self.key_cols),
+                    "n_buckets": self.n_buckets,
+                    "schema": df.schema.jsonValue(),
+                },
+                fh,
+            )
+
+    def _schema(self) -> T.StructType:
+        with open(self.meta_path) as fh:
+            data_schema = T.StructType.fromJson(json.load(fh)["schema"])
+        return T.StructType(
+            list(data_schema.fields) + [T.StructField("_bucket", T.IntegerType(), True)]
+        )
+
+    def _read_raw(self) -> DataFrame:
+        # Explicit schema: no inference pass (one less listing at scale) and
+        # a fully-deleted table (zero bucket dirs) still reads as empty.
+        return self.spark.read.schema(self._schema()).parquet(self.data_path)
+
+    def read(self) -> DataFrame:
+        return self._read_raw().drop("_bucket")
+
+    def upsert(
+        self,
+        changes: DataFrame,
+        compare_cols: Sequence[str] = COMPARE_COLS,
+        digest_impl: str = "jvm",
+    ) -> None:
+        """MERGE the key-unique change set (payload + ``op``) into the table.
+
+        Only bucket partitions containing changed keys are read and
+        rewritten; the rest of the table is untouched (dynamic partition
+        overwrite). Deterministic input ⇒ deterministic bucket contents, so
+        a crashed-then-replayed upsert rewrites identical files — replay
+        safety does not depend on the file commit being atomic.
+        """
+        self._check_writable()
+        changes_b = changes.withColumn(
+            "_bucket", _bucket_expr(self.key_cols, self.n_buckets)
+        )
+        # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
+        touched = [
+            r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        base = (
+            self._read_raw()
+            .filter(F.col("_bucket").isin(touched))  # partition pruning
+            .drop("_bucket")
+        )
+        merged = apply_changes(
+            base,
+            changes_b.drop("_bucket"),
+            key_cols=self.key_cols,
+            compare_cols=compare_cols,
+            digest_impl=digest_impl,
+        ).withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
+        merged = merged.repartition("_bucket").cache()
+        try:
+            # Buckets whose every row was deleted produce NO output partition,
+            # which dynamic overwrite would leave stale — drop them explicitly.
+            surviving = {r["_bucket"] for r in merged.select("_bucket").distinct().collect()}
+            (
+                merged.write.mode("overwrite")  # dynamic: only partitions in output
+                .partitionBy("_bucket")
+                .parquet(self.data_path)
+            )
+        finally:
+            merged.unpersist()
+        for b in set(touched) - surviving:
+            part_dir = os.path.join(self.data_path, f"_bucket={b}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+
+
+def iceberg_merge_sql(
+    target: str,
+    source_view: str,
+    key_cols: Sequence[str] = KEY_COLS,
+    payload_cols: Sequence[str] = ("commit", "lang", "content"),
+) -> str:
+    """The production MERGE INTO statement (Iceberg / ANSI SQL:2016).
+
+    Branch-complete with the reference's fallback semantics baked in:
+    ADD on an existing key updates; UPDATE/ADD on a missing key inserts;
+    DELETE on a missing key is a no-op (no NOT-MATCHED-DELETE branch).
+    No-op suppression for backend parity with apply_changes: a matched row
+    whose canonical payload is null-safe-equal is NOT updated (keeps its
+    commit), via ``<=>`` over the compare columns.
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    compare = [c for c in COMPARE_COLS if c in payload_cols] or list(payload_cols)
+    unchanged = " AND ".join(f"t.{c} <=> s.{c}" for c in compare)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in payload_cols)
+    cols = ", ".join([*key_cols, *payload_cols])
+    vals = ", ".join(f"s.{c}" for c in [*key_cols, *payload_cols])
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND s.op = '{OP_DELETE}' THEN DELETE "
+        f"WHEN MATCHED AND NOT ({unchanged}) THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED AND s.op <> '{OP_DELETE}' THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+@dataclass
+class IcebergLakeTable:
+    """Iceberg-backed table; requires iceberg-spark-runtime on the session.
+
+    DDL (production): ``CREATE TABLE ... PARTITIONED BY (bucket(N, repo))``
+    so MERGE shuffles align with storage and AQE can prune by bucket.
+    """
+
+    spark: SparkSession
+    table: str  # catalog.db.table
+    key_cols: tuple[str, ...] = KEY_COLS
+    protected: bool = False
+
+    def read(self) -> DataFrame:
+        return self.spark.read.table(self.table)
+
+    def upsert(self, changes: DataFrame, **_: object) -> None:
+        if self.protected:
+            raise ProtectedTableError(f"table {self.table} is write-guarded")
+        changes.createOrReplaceTempView("_cdc_changes")
+        payload = [c for c in changes.columns if c not in (*self.key_cols, "op", "event_seq", "epoch")]
+        self.spark.sql(
+            iceberg_merge_sql(self.table, "_cdc_changes", self.key_cols, payload)
+        )

@@ -1,0 +1,206 @@
+"""Lake backend + checkpointed pipeline tests: upsert parity, empty-bucket
+deletion, write guard, MERGE SQL shape, end-to-end vs oracle with ignores,
+kill-and-resume, lineage invariants, full-log replay convergence."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bcdc2bcdc_spark.functions.canonicalize import canonicalize_events, canonicalize_snapshot
+from bcdc2bcdc_spark.generator import IGNORED_REPOS, gen_events, gen_repos
+from bcdc2bcdc_spark.operators.apply import apply_changes
+from bcdc2bcdc_spark.operators.diff import datasets_equal
+from bcdc2bcdc_spark.operators.lww import lww_dedup
+from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+from bcdc2bcdc_spark.sources.lake import (
+    HashBucketParquetTable,
+    ProtectedTableError,
+    iceberg_merge_sql,
+)
+
+from tests.oracle import content_sha_index, replay
+
+
+@pytest.fixture
+def tmp_table(spark, tmp_path):
+    return HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=8)
+
+
+def test_lake_init_read_roundtrip(spark, tmp_table):
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=400))
+    tmp_table.init(base)
+    assert datasets_equal(tmp_table.read(), base)
+    # data really is bucket-partitioned on disk
+    assert glob.glob(os.path.join(tmp_table.data_path, "_bucket=*"))
+
+
+def test_lake_upsert_matches_apply_changes(spark, tmp_table):
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=400, seed=3))
+    ev = canonicalize_events(gen_events(spark, n_events=2000, n_keys=400, n_epochs=1, seed=3))
+    winners = lww_dedup(ev.drop("epoch"))
+    tmp_table.init(base)
+    tmp_table.upsert(winners)
+    expected = apply_changes(base, winners)
+    assert datasets_equal(tmp_table.read(), expected)
+
+
+def test_lake_upsert_prunes_untouched_buckets(spark, tmp_table):
+    """Scale property: an upsert touching few keys must not rewrite the
+    whole table — untouched bucket files keep their mtime/identity."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=400, seed=9))
+    tmp_table.init(base)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(tmp_table.data_path, "_bucket=*", "*.parquet"))
+    }
+    one = tmp_table.read().limit(1).withColumn("op", F.lit("UPDATE")).withColumn(
+        "content", F.lit("changed!")
+    ).withColumn("event_seq", F.lit(1).cast("long"))
+    tmp_table.upsert(one)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(tmp_table.data_path, "_bucket=*", "*.parquet"))
+    }
+    untouched_same = [p for p in before if p in after and before[p] == after[p]]
+    assert untouched_same, "expected untouched bucket files to survive upsert"
+
+
+def test_lake_delete_can_empty_a_bucket(spark, tmp_table):
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=50, seed=4))
+    tmp_table.init(base)
+    everything = tmp_table.read().withColumn("op", F.lit("DELETE")).withColumn(
+        "content", F.lit(None).cast("string")
+    ).withColumn("event_seq", F.lit(1).cast("long"))
+    tmp_table.upsert(everything)
+    assert tmp_table.read().count() == 0  # stale-partition bug regression
+
+
+def test_write_guard(spark, tmp_path):
+    t = HashBucketParquetTable(spark, str(tmp_path / "guarded"), protected=True)
+    with pytest.raises(ProtectedTableError):
+        t.init(gen_repos(spark, n_keys=10))
+
+
+def test_iceberg_merge_sql_branches():
+    sql = iceberg_merge_sql("cat.db.repos", "changes")
+    assert "WHEN MATCHED AND s.op = 'DELETE' THEN DELETE" in sql
+    assert "WHEN MATCHED AND NOT (t.lang <=> s.lang AND t.content <=> s.content)" in sql
+    assert "WHEN NOT MATCHED AND s.op <> 'DELETE' THEN INSERT" in sql
+
+
+def _mk_pipeline(spark, tmp_path, **kw):
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    cp = CheckpointStore(str(tmp_path / "ckpt"))
+    return table, cp, CDCPipeline(table=table, checkpoints=cp, **kw)
+
+
+def test_pipeline_end_to_end_vs_oracle(spark, tmp_path):
+    base = gen_repos(spark, n_keys=500, seed=42)
+    ev = gen_events(spark, n_events=3000, n_keys=500, n_epochs=3, seed=42)
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(base))
+    results = pipe.run(ev)
+    assert all(results.values()) and len(results) == 3
+
+    oracle = replay(base.toPandas(), ev.toPandas(), ignored_repos=set(IGNORED_REPOS))
+    got = table.read().toPandas()
+    # north-rule per-row invariant: sha256(content) equality, every key
+    assert content_sha_index(got) == content_sha_index(oracle)
+
+
+def test_pipeline_rerun_skips_committed(spark, tmp_path):
+    base = gen_repos(spark, n_keys=200, seed=1)
+    ev = gen_events(spark, n_events=800, n_keys=200, n_epochs=2, seed=1)
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(base))
+    assert list(pipe.run(ev).values()) == [True, True]
+    snap = table.read().cache()
+    assert list(pipe.run(ev).values()) == [False, False]  # resume = all skipped
+    assert datasets_equal(table.read(), snap)
+    snap.unpersist()
+
+
+def test_pipeline_kill_and_resume(spark, tmp_path):
+    """Crash AFTER the epoch-1 data write but BEFORE its marker: resume must
+    replay epoch 1 and converge to the straight-through result."""
+    base = gen_repos(spark, n_keys=300, seed=8)
+    ev = gen_events(spark, n_events=1500, n_keys=300, n_epochs=2, seed=8)
+    # straight-through reference run
+    t_ref, _, pipe_ref = _mk_pipeline(spark, tmp_path / "ref")
+    t_ref.init(canonicalize_snapshot(base))
+    pipe_ref.run(ev)
+
+    table, cp, pipe = _mk_pipeline(spark, tmp_path / "crash")
+    table.init(canonicalize_snapshot(base))
+    e0 = ev.filter(F.col("epoch") == 0).drop("epoch")
+    e1 = ev.filter(F.col("epoch") == 1).drop("epoch")
+    pipe.apply_epoch(e0, 0)
+    # simulate the crash: data applied, marker never written
+    table.upsert(pipe.prepare_batch(e1), digest_impl=pipe.digest_impl)
+    assert cp.committed_epochs() == {0}
+    # resume: epoch 0 skipped, epoch 1 REPLAYED onto already-applied state
+    results = pipe.run(ev)
+    assert results == {0: False, 1: True}
+    assert datasets_equal(table.read(), t_ref.read())
+
+
+def test_lineage_sums_match_epoch_counts(spark, tmp_path):
+    base = gen_repos(spark, n_keys=200, seed=2)
+    ev = gen_events(spark, n_events=1000, n_keys=200, n_epochs=2, seed=2)
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(base))
+    pipe.run(ev)
+    lineage = cp.read_lineage(spark)
+    got = {
+        r["epoch"]: r["total"]
+        for r in lineage.groupBy("epoch").agg(F.sum("events_applied").alias("total")).collect()
+    }
+    want = {
+        r["epoch"]: r["count"]
+        for r in ev.groupBy("epoch").count().collect()
+    }
+    assert got == want
+    # upserts + deletes == events_applied, bytes positive
+    bad = lineage.filter(
+        (F.col("upserts") + F.col("deletes") != F.col("events_applied"))
+        | (F.col("bytes") < 0)
+    )
+    assert bad.count() == 0
+
+
+def test_ignored_repos_never_reach_table(spark, tmp_path):
+    base = gen_repos(spark, n_keys=300, seed=6)
+    ev = gen_events(spark, n_events=2000, n_keys=300, n_epochs=1, seed=6)
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    # base itself contains ignored repos (they pre-exist; engine only skips
+    # *events* for them — the reference leaves ignored DEST records alone)
+    table.init(canonicalize_snapshot(base))
+    before = table.read().filter(F.col("repo").isin(*IGNORED_REPOS)).cache()
+    pipe.run(ev)
+    after = table.read().filter(F.col("repo").isin(*IGNORED_REPOS))
+    assert datasets_equal(after, before)
+    before.unpersist()
+
+
+def test_lineage_idempotent_under_replay(spark, tmp_path):
+    """Regression: a crash-replayed epoch must not double-count lineage."""
+    base = gen_repos(spark, n_keys=150, seed=13)
+    ev = gen_events(spark, n_events=600, n_keys=150, n_epochs=2, seed=13)
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(base))
+    pipe.run(ev)
+    os.remove(os.path.join(cp.offsets_dir, "epoch_1.json"))  # crash before marker
+    pipe.run(ev)  # replay epoch 1
+    got = {
+        r["epoch"]: r["total"]
+        for r in cp.read_lineage(spark)
+        .groupBy("epoch")
+        .agg(F.sum("events_applied").alias("total"))
+        .collect()
+    }
+    want = {r["epoch"]: r["count"] for r in ev.groupBy("epoch").count().collect()}
+    assert got == want
