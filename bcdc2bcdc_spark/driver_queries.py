@@ -1,0 +1,481 @@
+"""Driver-contract queries: one per implemented operator (SURVEY.md §2),
+each with a DuckDB-runnable ANSI-SQL oracle that computes the identical
+result on the same parquet tables.
+
+The CDC operators run over a change-event view DERIVED deterministically
+from the driver's ``lineitem`` table (TESTDATA.md) — same derivation in
+Spark and in the oracle SQL, so both engines see the same events:
+
+    repo      = 'r' || (l_suppkey % 20)
+    path      = 'p' || (l_partkey % 1500)
+    event_seq = l_orderkey * 10 + l_linenumber          (unique)
+    commit_id = lpad(event_seq, 12, '0')                 (lexically monotone)
+    lang      = l_linestatus
+    content   = 'c' || ((l_orderkey * 7 + l_partkey) % 1000)
+    op        = R→DELETE, A→ADD, else UPDATE (l_returnflag)
+
+"dest" is the LWW state at half the event log, "src" the state at the end —
+a src/dest snapshot pair exactly like the reference's two CKAN instances.
+Integer-only value derivations keep Spark/DuckDB results bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from bcdc2bcdc_spark.operators.lww import lww_dedup
+
+# ---------------------------------------------------------------------------
+# shared derivation: CDC event view over lineitem
+# ---------------------------------------------------------------------------
+
+EV_SQL = """
+    SELECT 'r' || CAST(l_suppkey % 20 AS VARCHAR) AS repo,
+           'p' || CAST(l_partkey % 1500 AS VARCHAR) AS path,
+           LPAD(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 12, '0') AS commit_id,
+           l_linestatus AS lang,
+           'c' || CAST((l_orderkey * 7 + l_partkey) % 1000 AS VARCHAR) AS content,
+           CASE WHEN l_returnflag = 'R' THEN 'DELETE'
+                WHEN l_returnflag = 'A' THEN 'ADD'
+                ELSE 'UPDATE' END AS op,
+           l_orderkey * 10 + l_linenumber AS event_seq
+    FROM lineitem
+"""
+
+#: LWW ordering. The derived event_seq (l_orderkey*10+l_linenumber) is NOT
+#: unique — the driver's synthetic lineitem contains duplicate
+#: (orderkey, linenumber) pairs — so the order extends over the remaining
+#: payload columns to a total order; engines then agree on every winner.
+LWW_ORDER = ("commit_id", "event_seq", "lang", "content", "op")
+_LWW_ORDER_SQL = ", ".join(f"{c} DESC" for c in LWW_ORDER)
+
+#: LWW state of the event stream at a boundary (NULL boundary = full log):
+#: winner per key by LWW_ORDER desc, DELETE winners removed.
+SNAP_SQL = f"""
+    SELECT repo, path, commit_id, lang, content FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY repo, path ORDER BY {_LWW_ORDER_SQL}
+        ) AS rn
+        FROM ({{ev}}) e {{where}}
+    ) WHERE rn = 1 AND op <> 'DELETE'
+"""
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    seq = li.l_orderkey * 10 + li.l_linenumber
+    return li.select(
+        F.concat(F.lit("r"), (li.l_suppkey % 20).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (li.l_partkey % 1500).cast("string")).alias("path"),
+        F.lpad(seq.cast("string"), 12, "0").alias("commit_id"),
+        li.l_linestatus.alias("lang"),
+        F.concat(
+            F.lit("c"), ((li.l_orderkey * 7 + li.l_partkey) % 1000).cast("string")
+        ).alias("content"),
+        F.when(li.l_returnflag == "R", "DELETE")
+        .when(li.l_returnflag == "A", "ADD")
+        .otherwise("UPDATE")
+        .alias("op"),
+        seq.alias("event_seq"),
+    )
+
+
+def cdc_state(ev: DataFrame, max_seq: int | None = None) -> DataFrame:
+    """LWW state at boundary — the engine's lww_dedup + DELETE filter."""
+    if max_seq is not None:
+        ev = ev.filter(F.col("event_seq") <= max_seq)
+    winners = lww_dedup(ev, order_cols=LWW_ORDER, strategy="maxby")
+    return winners.filter(F.col("op") != "DELETE").select(
+        "repo", "path", "commit_id", "lang", "content"
+    )
+
+
+def _half_seq(ev: DataFrame) -> int:
+    mx = ev.agg(F.max("event_seq").alias("m")).first()["m"]
+    return int(mx) // 2
+
+
+def _digest(col):
+    """sha256 over a 'v:'-tagged value — same tagging as the oracle SQL."""
+    return F.sha2(F.concat(F.lit("v:"), col, F.lit("\x1f"), F.lit("v:")), 256)
+
+
+_DIGEST_SQL = "sha256('v:' || {c} || chr(31) || 'v:')"
+HALF_SQL = "(SELECT CAST(FLOOR(MAX(l_orderkey * 10 + l_linenumber) / 2.0) AS BIGINT) FROM lineitem)"
+
+
+# ---------------------------------------------------------------------------
+# CDC operator queries (SURVEY §2.3/§2.5/§2.9)
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 LWW dedup: one winner per (repo, path) over the whole log."""
+    return lww_dedup(cdc_events(spark, sf_dir), order_cols=LWW_ORDER, strategy="maxby")
+
+
+SQL_CDC_LWW_DEDUP = f"""
+    SELECT repo, path, commit_id, lang, content, op, event_seq FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY repo, path ORDER BY {_LWW_ORDER_SQL}
+        ) AS rn FROM ({EV_SQL})
+    ) WHERE rn = 1
+"""
+
+
+def q_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9/S7-S9: state reconstruction — LWW winners minus DELETEs."""
+    return cdc_state(cdc_events(spark, sf_dir))
+
+
+SQL_CDC_STATE = SNAP_SQL.format(ev=EV_SQL, where="")
+
+
+def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+D1 flagship: full-outer diff of src (full-log state) vs dest
+    (half-log state), classified ADD/UPDATE/DELETE by digest inequality."""
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq(ev)
+    src = cdc_state(ev, None).alias("s")
+    dest = cdc_state(ev, half).select(
+        "repo", "path", _digest(F.concat_ws("\x1f", "lang", "content")).alias("_dd")
+    ).alias("d")
+    src_d = src.withColumn("_sd", _digest(F.concat_ws("\x1f", "lang", "content")))
+    j = src_d.join(dest, ["repo", "path"], "full_outer")
+    op = (
+        F.when(F.col("_dd").isNull(), "ADD")
+        .when(F.col("_sd").isNull(), "DELETE")
+        .when(F.col("_sd") != F.col("_dd"), "UPDATE")
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("repo", "path", "op")
+    )
+
+
+SQL_CDC_DELTA = f"""
+    WITH src AS ({SNAP_SQL.format(ev=EV_SQL, where="")}),
+         dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")}),
+         j AS (
+           SELECT COALESCE(s.repo, d.repo) AS repo,
+                  COALESCE(s.path, d.path) AS path,
+                  CASE WHEN d.repo IS NULL THEN 'ADD'
+                       WHEN s.repo IS NULL THEN 'DELETE'
+                       WHEN {_DIGEST_SQL.format(c="s.lang || chr(31) || s.content")}
+                         <> {_DIGEST_SQL.format(c="d.lang || chr(31) || d.content")}
+                       THEN 'UPDATE' END AS op
+           FROM src s FULL OUTER JOIN dest d
+             ON s.repo = d.repo AND s.path = d.path
+         )
+    SELECT repo, path, op FROM j WHERE op IS NOT NULL
+"""
+
+
+def q_cdc_delta_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: delta summary — change-set size per op (lineage metric)."""
+    return (
+        q_cdc_delta(spark, sf_dir)
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CDC_DELTA_COUNTS = f"SELECT op, COUNT(*) AS n FROM ({SQL_CDC_DELTA}) GROUP BY op"
+
+
+def q_cdc_add_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 ADD set (src − dest) as a left_anti join: event actors missing
+    from the customer dimension."""
+    ev = load(spark, sf_dir, "events").select("user_id").distinct()
+    sup = load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("user_id"))
+    return ev.join(sup, "user_id", "left_anti")
+
+
+SQL_CDC_ADD_ANTI = """
+    SELECT DISTINCT user_id FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+"""
+
+
+def q_cdc_delete_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 DELETE set (dest − src): customers with no events."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey")).distinct()
+    return cust.join(ev, "c_custkey", "left_anti")
+
+
+SQL_CDC_DELETE_ANTI = """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+def q_cdc_update_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+D1 UPDATE set: keys in BOTH states whose content digest differs."""
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq(ev)
+    src = cdc_state(ev, None).select("repo", "path", _digest(F.col("content")).alias("sd"))
+    dest = cdc_state(ev, half).select("repo", "path", _digest(F.col("content")).alias("dd"))
+    return (
+        src.join(dest, ["repo", "path"], "inner")
+        .filter(F.col("sd") != F.col("dd"))
+        .select("repo", "path")
+    )
+
+
+SQL_CDC_UPDATE_DIGEST = f"""
+    WITH src AS ({SNAP_SQL.format(ev=EV_SQL, where="")}),
+         dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")})
+    SELECT s.repo AS repo, s.path AS path
+    FROM src s JOIN dest d ON s.repo = d.repo AND s.path = d.path
+    WHERE {_DIGEST_SQL.format(c='s.content')} <> {_DIGEST_SQL.format(c='d.content')}
+"""
+
+
+def q_fk_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/T18: surrogate-id → business-name remap via two broadcast joins
+    (orders.o_custkey → customer → nation name)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", F.col("n_name").alias("nation_name"))
+    )
+
+
+SQL_FK_REMAP = """
+    SELECT o_orderkey, n_name AS nation_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_ignore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4: broadcast ignore-list anti-filter, then per-key counts."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(~F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_IGNORE_FILTER = """
+    SELECT user_id, COUNT(*) AS n FROM events
+    WHERE event_type NOT IN ('click', 'view')
+    GROUP BY user_id
+"""
+
+
+def q_dup_altkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/A1: duplicate-alternate-key detection — actors appearing ≥ 80×
+    (the reference's duplicate-email exclusion, CKANData.py:1582-1637)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 80)
+    )
+
+
+SQL_DUP_ALTKEY = """
+    SELECT user_id, COUNT(*) AS n FROM events
+    GROUP BY user_id HAVING COUNT(*) >= 80
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonicalization / transform queries (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def q_canon_nullish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T8: null-ish spellings → canonical NULL, then count per value."""
+    d = load(spark, sf_dir, "documents")
+    canon = F.when(F.col("lang").isin("", "None", "null", "N/A"), F.lit(None)).otherwise(
+        F.col("lang")
+    )
+    return d.select(canon.alias("lang_canon")).groupBy("lang_canon").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_CANON_NULLISH = """
+    SELECT CASE WHEN lang IN ('', 'None', 'null', 'N/A') THEN NULL ELSE lang END
+             AS lang_canon,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+"""
+
+
+def q_required_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: required-default fill — missing/empty lang defaults to 'und'."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("und")).alias("lang_filled"),
+    )
+
+
+SQL_REQUIRED_DEFAULTS = """
+    SELECT doc_id, COALESCE(NULLIF(lang, ''), 'und') AS lang_filled FROM documents
+"""
+
+
+def q_domain_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: value ∉ scheming domain → default ('other')."""
+    d = load(spark, sf_dir, "documents")
+    domain = ["en", "de", "fr", "es"]
+    return d.select(
+        "doc_id",
+        F.when(F.col("lang").isin(*domain), F.col("lang")).otherwise("other").alias(
+            "lang_valid"
+        ),
+    )
+
+
+SQL_DOMAIN_VALIDATE = """
+    SELECT doc_id,
+           CASE WHEN lang IN ('en','de','fr','es') THEN lang ELSE 'other' END AS lang_valid
+    FROM documents
+"""
+
+
+def q_value_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: closed value remap ladder on event_type."""
+    ev = load(spark, sf_dir, "events")
+    remap = (
+        F.when(F.col("event_type") == "purchase", "PURCHASE")
+        .when(F.col("event_type") == "click", "INTERACTION")
+        .when(F.col("event_type") == "view", "INTERACTION")
+        .otherwise("OTHER")
+    )
+    return ev.select(remap.alias("event_class")).groupBy("event_class").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_VALUE_REMAP = """
+    SELECT CASE WHEN event_type = 'purchase' THEN 'PURCHASE'
+                WHEN event_type IN ('click','view') THEN 'INTERACTION'
+                ELSE 'OTHER' END AS event_class,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_stringify_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T16: stringified-JSON canonicalization — parse the props JSON
+    string, extract a field, count by it."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_STRINGIFY_JSON = """
+    SELECT json_extract_string(props, '$.k') AS k_val, COUNT(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation / sort / top-k (SURVEY §2.4, §2.7)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style rollup with exact decimal sums (order-insensitive) cast back
+    to double after rounding — engine-portable deterministic aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+    )
+
+
+SQL_AGG_PRICING = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_base_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + top-k: highest-value customers by exact decimal order total;
+    deterministic tie-break on the key."""
+    o = load(spark, sf_dir, "orders")
+    total = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total")
+        )
+    )
+    return total.orderBy(F.desc("total"), F.asc("o_custkey")).limit(100)
+
+
+SQL_TOPK_CUSTOMERS = """
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_custkey
+    ORDER BY total DESC, o_custkey ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, object] = {
+    "cdc_lww_dedup": q_cdc_lww_dedup,
+    "cdc_state": q_cdc_state,
+    "cdc_delta": q_cdc_delta,
+    "cdc_delta_counts": q_cdc_delta_counts,
+    "cdc_add_anti": q_cdc_add_anti,
+    "cdc_delete_anti": q_cdc_delete_anti,
+    "cdc_update_digest": q_cdc_update_digest,
+    "fk_remap": q_fk_remap,
+    "ignore_filter": q_ignore_filter,
+    "dup_altkey": q_dup_altkey,
+    "canon_nullish": q_canon_nullish,
+    "required_defaults": q_required_defaults,
+    "domain_validate": q_domain_validate,
+    "value_remap": q_value_remap,
+    "stringify_json": q_stringify_json,
+    "agg_pricing": q_agg_pricing,
+    "topk_customers": q_topk_customers,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_dedup": SQL_CDC_LWW_DEDUP,
+    "cdc_state": SQL_CDC_STATE,
+    "cdc_delta": SQL_CDC_DELTA,
+    "cdc_delta_counts": SQL_CDC_DELTA_COUNTS,
+    "cdc_add_anti": SQL_CDC_ADD_ANTI,
+    "cdc_delete_anti": SQL_CDC_DELETE_ANTI,
+    "cdc_update_digest": SQL_CDC_UPDATE_DIGEST,
+    "fk_remap": SQL_FK_REMAP,
+    "ignore_filter": SQL_IGNORE_FILTER,
+    "dup_altkey": SQL_DUP_ALTKEY,
+    "canon_nullish": SQL_CANON_NULLISH,
+    "required_defaults": SQL_REQUIRED_DEFAULTS,
+    "domain_validate": SQL_DOMAIN_VALIDATE,
+    "value_remap": SQL_VALUE_REMAP,
+    "stringify_json": SQL_STRINGIFY_JSON,
+    "agg_pricing": SQL_AGG_PRICING,
+    "topk_customers": SQL_TOPK_CUSTOMERS,
+}
