@@ -109,4 +109,8 @@ def lineage_metrics(batch: DataFrame, epoch: int) -> DataFrame:
         F.sum(F.when(F.col("op") != OP_DELETE, 1).otherwise(0)).alias("upserts"),
         F.sum(F.when(F.col("op") == OP_DELETE, 1).otherwise(0)).alias("deletes"),
         F.sum(F.coalesce(F.octet_length("content"), F.lit(0))).cast("long").alias("bytes"),
+        # offset bounds ride in the same aggregation so the pipeline needs
+        # no separate min/max job per epoch; stripped before persisting.
+        F.min("event_seq").alias("_offset_lo"),
+        F.max("event_seq").alias("_offset_hi"),
     )

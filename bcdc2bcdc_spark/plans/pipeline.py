@@ -81,17 +81,27 @@ class CDCPipeline:
         """
         if self.checkpoints.is_committed(epoch):
             return False
-        bounds = events.select(
-            F.min("event_seq").alias("lo"), F.max("event_seq").alias("hi")
-        ).first()
         winners = self.prepare_batch(events)
         self.table.upsert(winners, digest_impl=self.digest_impl)
-        self.checkpoints.write_lineage(epoch, lineage_metrics(events, epoch))
+        # ONE aggregation job yields lineage AND offset bounds; the rows are
+        # O(input partitions), so collecting + re-creating locally is free
+        # and avoids a second scan of the epoch.
+        lineage_rows = lineage_metrics(events, epoch).collect()
+        lo = min((r["_offset_lo"] for r in lineage_rows), default=-1)
+        hi = max((r["_offset_hi"] for r in lineage_rows), default=-1)
+        spark = events.sparkSession
+        from bcdc2bcdc_spark.schema import LINEAGE_SCHEMA
+
+        lineage_df = spark.createDataFrame(
+            [
+                [r["epoch"], r["partition_id"], r["events_applied"], r["upserts"], r["deletes"], r["bytes"]]
+                for r in lineage_rows
+            ],
+            LINEAGE_SCHEMA,
+        )
+        self.checkpoints.write_lineage(epoch, lineage_df)
         self.checkpoints.commit(
-            epoch,
-            offset_start=bounds["lo"] if bounds["lo"] is not None else -1,
-            offset_end=bounds["hi"] if bounds["hi"] is not None else -1,
-            snapshot_id=uuid.uuid4().hex,
+            epoch, offset_start=lo, offset_end=hi, snapshot_id=uuid.uuid4().hex
         )
         return True
 

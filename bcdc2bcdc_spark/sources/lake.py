@@ -155,22 +155,33 @@ class HashBucketParquetTable:
             compare_cols=compare_cols,
             digest_impl=digest_impl,
         ).withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
-        merged = merged.repartition("_bucket").cache()
-        try:
-            # Buckets whose every row was deleted produce NO output partition,
-            # which dynamic overwrite would leave stale — drop them explicitly.
-            surviving = {r["_bucket"] for r in merged.select("_bucket").distinct().collect()}
-            (
-                merged.write.mode("overwrite")  # dynamic: only partitions in output
-                .partitionBy("_bucket")
-                .parquet(self.data_path)
-            )
-        finally:
-            merged.unpersist()
-        for b in set(touched) - surviving:
-            part_dir = os.path.join(self.data_path, f"_bucket={b}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
+        # One shuffle by bucket so each partition dir is written by few
+        # tasks (no small-file explosion), then ONE write job. No caching:
+        # recomputing the plan is cheaper than materializing it, and at
+        # scale cache memory is better spent on shuffle.
+        pre_files = {
+            b: self._part_files(b) for b in touched
+        }
+        (
+            merged.repartition("_bucket")
+            .write.mode("overwrite")  # dynamic: only partitions in output
+            .partitionBy("_bucket")
+            .parquet(self.data_path)
+        )
+        # Buckets whose every row was deleted produce NO output partition,
+        # which dynamic overwrite leaves stale. Detect them driver-side:
+        # a touched bucket that received no new files was emptied.
+        for b in touched:
+            if not (self._part_files(b) - pre_files[b]):
+                part_dir = os.path.join(self.data_path, f"_bucket={b}")
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
+
+    def _part_files(self, bucket: int) -> set[str]:
+        part_dir = os.path.join(self.data_path, f"_bucket={bucket}")
+        if not os.path.isdir(part_dir):
+            return set()
+        return {f for f in os.listdir(part_dir) if f.endswith(".parquet")}
 
 
 def iceberg_merge_sql(

@@ -1,0 +1,128 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline metric: the CDC pipeline end-to-end (tail → canonicalize → LWW
+dedup → merge into the bucketed lake, with checkpoints + lineage) over the
+change-event view derived from the sf lineitem table, reported as wall
+seconds and events/sec. Individual operator queries from the driver
+contract are timed alongside.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_DIGEST_IMPL  (arrow|jvm, default arrow — the north-rule path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from bcdc2bcdc_spark.driver_queries import QUERIES, cdc_events
+from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+from bcdc2bcdc_spark.session import get_spark
+from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+BENCH_QUERIES = [
+    "cdc_lww_dedup",
+    "cdc_state",
+    "cdc_delta",
+    "cdc_update_digest",
+    "fk_remap",
+    "agg_pricing",
+    "topk_customers",
+]
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+def bench_pipeline(spark, sf_dir: str, workdir: str, n_epochs: int = 4,
+                   digest_impl: str = "arrow") -> dict:
+    """Full engine run: empty lake + every derived event applied in epochs."""
+    ev = cdc_events(spark, sf_dir)
+    # unique event ids for this run (derived seq has duplicates, see
+    # driver_queries.LWW_ORDER) — monotonically increasing + repartition-safe
+    ev = ev.withColumn("event_seq", F.monotonically_increasing_id()).withColumn(
+        "commit_id", F.lpad(F.col("event_seq").cast("string"), 14, "0")
+    )
+    ev = ev.withColumnRenamed("commit_id", "commit")
+    n_events = ev.count()
+    bounds = ev.agg(F.max("event_seq").alias("m")).first()["m"]
+    ev = ev.withColumn(
+        "epoch", F.least(F.lit(n_epochs - 1), (F.col("event_seq") * n_epochs / (bounds + 1)).cast("long"))
+    ).cache()
+    ev.count()  # materialize input so the pipeline timing excludes derivation
+
+    table = HashBucketParquetTable(spark, os.path.join(workdir, "lake"), n_buckets=64)
+    empty = spark.createDataFrame([], REPOS_SCHEMA)
+    table.init(empty)
+    cp = CheckpointStore(os.path.join(workdir, "ckpt"))
+    pipe = CDCPipeline(
+        table=table, checkpoints=cp, ignore_repos=(), digest_impl=digest_impl,
+        order_cols=("commit", "event_seq"),
+    )
+    t0 = time.perf_counter()
+    pipe.run(ev)
+    wall = time.perf_counter() - t0
+    final_rows = table.read().count()
+    ev.unpersist()
+    return {
+        "events": n_events,
+        "wall_sec": wall,
+        "events_per_sec": n_events / wall,
+        "final_rows": final_rows,
+        "epochs": n_epochs,
+        "digest_impl": digest_impl,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    digest_impl = os.environ.get("BENCH_DIGEST_IMPL", "arrow")
+    spark = get_spark(
+        "bcdc2bcdc-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM JIT + codegen + parquet footer cache, so per-query numbers
+    # measure the operator, not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        queries[name] = round(time_query(QUERIES[name], spark, sf_dir), 3)
+
+    workdir = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        pipe_stats = bench_pipeline(spark, sf_dir, workdir, digest_impl=digest_impl)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "cdc pipeline end-to-end wall sec (tail->dedup->merge), sf lineitem-derived events",
+        "value": round(pipe_stats["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline": {k: (round(v, 2) if isinstance(v, float) else v) for k, v in pipe_stats.items()},
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
