@@ -479,3 +479,259 @@ ORACLES: dict[str, str] = {
     "agg_pricing": SQL_AGG_PRICING,
     "topk_customers": SQL_TOPK_CUSTOMERS,
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+from bcdc2bcdc_spark.functions.text import (  # noqa: E402
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    token_count,
+)
+from bcdc2bcdc_spark.operators.ann import brute_force_topk, ivf_topk  # noqa: E402
+from bcdc2bcdc_spark.operators.dedupe import (  # noqa: E402
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+
+#: DuckDB spelling of the normalized-text fingerprint (functions/text.py)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+#: DuckDB spelling of distinct lowercase whitespace tokens per doc
+_TOKS_SQL = """
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))) AS tok
+    FROM documents
+"""
+
+
+#: DuckDB spelling of distinct 3-gram word shingles per doc (ordered,
+#: lowercased tokens; matches operators/dedupe._shingles with n=3)
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 3, 0) + 2),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS tok
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, punctuation ratio, heuristic language id,
+    normalization fingerprint — one projection over documents."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        lang_id("text").alias("lang_pred"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+             AS n_tokens,
+           ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / GREATEST(length(text), 1), 4) AS punct_ratio,
+           CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+                  OR ' ' || lower(text) || ' ' LIKE '% and %'
+                  OR ' ' || lower(text) || ' ' LIKE '% of %' THEN 'en'
+                WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+                  OR ' ' || lower(text) || ' ' LIKE '% und %'
+                  OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+                WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+                  OR ' ' || lower(text) || ' ' LIKE '% la %'
+                  OR ' ' || lower(text) || ' ' LIKE '% les %' THEN 'fr'
+                WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+                  OR ' ' || lower(text) || ' ' LIKE '% los %'
+                  OR ' ' || lower(text) || ' ' LIKE '% una %' THEN 'es'
+                ELSE 'und' END AS lang_pred,
+           md5({_NORM_SQL}) AS fp
+    FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: representative doc + copy count per normalized content."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5({_NORM_SQL})
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (3-gram shingles, τ=0.35)."""
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.35, n=3)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+    WITH toks AS ({_SHINGLES_SQL}),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+           FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+           GROUP BY ta.doc_id, tb.doc_id
+         )
+    SELECT a, b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.35
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (8 hashes, bands of 2, 3-gram shingles)."""
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), shingle_n=3)
+
+
+def _minhash_sql(num_hashes: int = 8, band_size: int = 2) -> str:
+    mh_cols = ",\n           ".join(
+        f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(num_hashes)
+    )
+    bands = "\n           UNION ALL\n           ".join(
+        "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=" || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+    WITH toks AS ({_SHINGLES_SQL}),
+         sig AS (SELECT doc_id, {mh_cols} FROM toks GROUP BY doc_id),
+         buckets AS ({bands})
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM buckets x JOIN buckets y
+      ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+     AND x.doc_id < y.doc_id
+"""
+
+
+SQL_DEDUP_MINHASH = _minhash_sql()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    return simhash16(load(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"  # noqa: E731
+    hv = f"((({nib(1)}) * 4096) + (({nib(2)}) * 256) + (({nib(3)}) * 16) + ({nib(4)}))"
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+         hv AS (SELECT doc_id, {hv} AS hv FROM toks),
+         votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql()
+
+#: DuckDB cosine between two DOUBLE[] expressions (sequential dot product —
+#: bit-identical to the engine's zip_with/aggregate fold, verified 500/500)
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-LSH candidate bucket, exact cosine ≥ 0.35."""
+    return embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS sig
+      FROM embeddings
+    )
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           ROUND({_COS_SQL.format(a='x.ve', b='y.ve')}, 6) AS cosine
+    FROM v x JOIN v y ON x.sig = y.sig AND x.vec_id < y.vec_id
+    WHERE ROUND({_COS_SQL.format(a='x.ve', b='y.ve')}, 6) >= 0.35
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 50th vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+SQL_ANN_TOPK = f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         q AS (SELECT vec_id, ve FROM c WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND({_COS_SQL.format(a='c.ve', b='q.ve')}, 6) AS cosine
+           FROM c, q WHERE c.vec_id <> q.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (approximate — no SQL oracle; driver records the
+    rows-only check; recall vs exact is asserted in tests/test_dataops.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_cells=8, n_probe=4)
+
+
+QUERIES.update(
+    {
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+    }
+)
+
+ORACLES.update(
+    {
+        "text_stats": SQL_TEXT_STATS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "ann_topk": SQL_ANN_TOPK,
+        # ann_ivf: intentionally no oracle (approximate operator)
+    }
+)

@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-structured for scale (no cartesian products —
+candidate generation is always a key-equality join):
+
+* exact           — hash-groupBy on a content fingerprint; map-side combine.
+* ngram_jaccard   — token/shingle sets, candidates via shared-token join,
+                    Jaccard from intersection counts.
+* minhash_lsh     — k md5-based minhashes → bands → bucket join; only
+                    same-bucket pairs are compared. The 100 TB path:
+                    shuffle is O(docs × bands), never O(docs²).
+* simhash         — 16-bit bit-majority fingerprint; exact-bucket match
+                    (Hamming-0) with the bit math portable to the SQL oracle.
+* embedding_cosine — near-duplicate by cosine ≥ τ over an embedding column;
+                    candidates via coarse LSH-ish bucketing on the lead
+                    dimensions, exact cosine on candidates only.
+
+md5-hex string ordering is used as the hash universe so every operator has
+a bit-identical ANSI-SQL oracle (DuckDB md5) — see driver_queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bcdc2bcdc_spark.functions.text import fingerprint, normalized_text
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per exact normalized content; group sizes
+    kept for lineage. groupBy = partial-agg hash aggregate, skew-tolerant."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token/shingle machinery
+# ---------------------------------------------------------------------------
+
+def _distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.explode(
+        F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    )
+    return df.select(F.col(id_col), toks.alias("tok"))
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document (join of sliding windows),
+    built with array higher-order functions — no UDF."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 1,
+) -> DataFrame:
+    """Candidate pairs (a < b) with token/shingle-set Jaccard ≥ threshold.
+
+    Shuffle profile: explode → groupBy token (intersection counts) →
+    join with per-doc set sizes. Stop-token guard: tokens shared by a huge
+    fraction of docs would quadratically blow the pair count at scale —
+    cap handled upstream by shingling (n≥3) for real corpora.
+    """
+    toks = (_shingles(df, text_col, id_col, n) if n > 1 else _distinct_tokens(df, text_col, id_col))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(F.col(id_col).alias("a"), "tok")
+    b = toks.select(F.col(id_col).alias("b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """k minhashes per doc: hash_i(tok) = md5(i || ':' || tok), minhash_i =
+    min over the doc's token set. md5-hex strings ARE the hash values —
+    uniform, deterministic, and portable to any SQL engine."""
+    toks = (
+        _shingles(df, text_col, id_col, shingle_n)
+        if shingle_n > 1
+        else _distinct_tokens(df, text_col, id_col)
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs agreeing on ALL
+    minhashes of any band land in the same bucket; bucket join emits pairs.
+    Returns distinct (a < b) candidate pairs.
+
+    Scale: the only shuffles are the signature groupBy and the bucket
+    self-join keyed on (band_id, band_hash) — never all-pairs.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+        F.col(id_col), F.col("bd.band_id"), F.col("bd.band_hash")
+    )
+    a = buckets.select(F.col(id_col).alias("a"), "band_id", "band_hash")
+    b = buckets.select(F.col(id_col).alias("b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _nibble(hexchar: Column) -> Column:
+    """hex char → 0..15 (portable: strpos over the hex alphabet)."""
+    return F.instr(F.lit("0123456789abcdef"), hexchar) - 1
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: per token take 16 bits (4 hex nibbles of md5);
+    fingerprint bit_j = majority vote over tokens. Bit math is built from
+    nibbles so the identical computation runs in the SQL oracle."""
+    toks = _distinct_tokens(df, text_col, id_col)
+    h = F.md5(F.col("tok"))
+    val = None
+    for i in range(4):  # 4 nibbles → 16 bits
+        nib = _nibble(F.substring(h, i + 1, 1))
+        val = nib if val is None else val * 16 + nib
+    toks = toks.withColumn("hv", val)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * (1 << j)
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash (Hamming distance 0 buckets) —
+    the bucketing stage of simhash dedup. Returns buckets with ≥2 docs."""
+    sh = simhash16(df, text_col, id_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Exact cosine over two double arrays — sequential fold, deterministic."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    sign_bits: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    Candidates come from a sign-LSH bucket (signs of the first
+    ``sign_bits`` dimensions): at τ→1 near-dups almost surely agree on
+    every lead sign, so the join is bucket-local, not all-pairs. Exact
+    cosine (double, sequential fold) filters candidates.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.concat_ws(
+        "", *[F.when(F.element_at(v, i + 1) >= 0, "1").otherwise("0") for i in range(sign_bits)]
+    )
+    base = df.select(F.col(id_col), v.alias("v"), sig.alias("sig"))
+    a = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "sig")
+    b = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

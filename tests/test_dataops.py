@@ -1,0 +1,155 @@
+"""Training-data operator tests: text stats, dedup family, ANN, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bcdc2bcdc_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    with_text_stats,
+)
+from bcdc2bcdc_spark.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    partition_by_cost,
+    synth_media,
+)
+from bcdc2bcdc_spark.operators.ann import ann_recall, brute_force_topk, ivf_topk
+from bcdc2bcdc_spark.operators.dedupe import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+    simhash_dup_groups,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog!"),  # near dup (case/punct)
+        (4, "der schnelle braune fuchs und der faule hund"),
+        (5, "completely different text about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_quality(spark):
+    df = _mini_docs(spark)
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert got[1] == 9 and got[4] == 8
+    q = df.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in q)
+
+
+def test_lang_id(spark):
+    df = _mini_docs(spark)
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id("text").alias("l")).collect()}
+    assert got[1] == "en" and got[4] == "de" and got[5] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = _mini_docs(spark)
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]  # case/punct-insensitive
+    assert fps[1] != fps[5]
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_mini_docs(spark))
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 3  # docs 1,2,3 normalize identically; min id = 1
+    assert rows[4] == 1 and rows[5] == 1
+    assert 2 not in rows and 3 not in rows
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = ngram_jaccard_pairs(_mini_docs(spark), threshold=0.8).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert (1, 2) in pairs  # identical token sets
+    assert all(r["jaccard"] <= 1.0 for r in out)
+    # 3-gram shingle variant also finds the exact dup
+    sh = ngram_jaccard_pairs(_mini_docs(spark), threshold=0.9, n=3).collect()
+    assert (1, 2) in {(r["a"], r["b"]) for r in sh}
+
+
+def test_minhash_lsh_finds_dups_and_bounds_candidates(spark, docs):
+    mini = _mini_docs(spark)
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(mini).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs  # unrelated docs should not collide in a band
+    # signatures are stable + complete
+    sigs = minhash_signatures(mini, num_hashes=8)
+    assert sigs.count() == 5 and len(sigs.columns) == 9
+    # at corpus scale the candidate set stays far below all-pairs
+    n = docs.count()
+    cand = minhash_lsh_pairs(docs, shingle_n=3).count()
+    assert cand < n * (n - 1) / 4
+
+
+def test_simhash(spark):
+    mini = _mini_docs(spark)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash16(mini).collect()}
+    assert sh[1] == sh[2]  # identical token sets → identical simhash
+    assert 0 <= sh[1] < 2**16
+    groups = simhash_dup_groups(mini).collect()
+    assert any(g["rep_id"] == 1 and g["n_docs"] >= 2 for g in groups)
+
+
+def test_embedding_near_dups_self_consistency(spark, emb):
+    # duplicate a vector under a new id → must be found at threshold ~1
+    v0 = emb.limit(1).select(F.lit(9999).cast("long").alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(v0)
+    pairs = embedding_near_dups(corpus, threshold=0.999999).collect()
+    assert any({p["a"], p["b"]} == {emb.first()["vec_id"], 9999} for p in pairs)
+
+
+def test_brute_force_topk_and_ivf_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries, k=5).cache()
+    counts = exact.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+    # per query, cosine is non-increasing with rank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    bad = exact.withColumn("_prev", F.lag("cosine").over(w)).filter(
+        F.col("_prev").isNotNull() & (F.col("cosine") > F.col("_prev"))
+    )
+    assert bad.count() == 0
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4)
+    rec = ann_recall(exact, approx)
+    assert rec >= 0.5  # probing half the cells recovers most true neighbors
+    exact.unpersist()
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=48)
+    feats = extract_features(partition_by_cost(media))
+    rows = feats.collect()
+    assert len(rows) == 48
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    # deterministic: same input → same features
+    again = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
+    assert {r["media_id"]: r["sha256"] for r in rows} == again
+    frames = frame_sample_stub(media, every_ms=5000)
+    assert frames.count() > 0
+    assert frames.filter(F.col("frame_ts_ms") % 5000 != 0).count() == 0
