@@ -21,7 +21,7 @@ Integer-only value derivations keep Spark/DuckDB results bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from bcdc2bcdc_spark.operators.lww import lww_dedup
 
@@ -733,5 +733,109 @@ ORACLES.update(
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "ann_topk": SQL_ANN_TOPK,
         # ann_ivf: intentionally no oracle (approximate operator)
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# nested-record operator queries (P1/P2/J9 analogs over order→items arrays)
+# ---------------------------------------------------------------------------
+
+def q_nested_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2 over nested data: build each order's array<struct> of line
+    items, bool-tree-project each element (drop autogen-ish cols), drop
+    ignore-listed elements (linenumber 7 = 'embedded ignore'), then reduce
+    order-insensitively (count + integer quantity sum per order)."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+        ).alias("items")
+    )
+    kept = items.withColumn(
+        "items", F.filter("items", lambda e: e.getField("l_linenumber") != 7)
+    ).withColumn(
+        "items",
+        F.transform("items", lambda e: F.struct(e.getField("l_partkey").alias("pk"), e.getField("qty").alias("qty"))),
+    )
+    return kept.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.size("items").alias("n_items"),
+        F.aggregate("items", F.lit(0).cast("long"), lambda acc, e: acc + e.getField("qty")).alias("sum_qty"),
+    )
+
+
+SQL_NESTED_PROJECT_FILTER = """
+    SELECT l_orderkey AS orderkey,
+           COUNT(CASE WHEN l_linenumber <> 7 THEN 1 END) AS n_items,
+           COALESCE(SUM(CASE WHEN l_linenumber <> 7
+                             THEN CAST(l_quantity AS BIGINT) END), 0) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_nested_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: rewrite an embedded member field across namespaces via a
+    broadcast mapping (supplier surrogate key → supplier name) inside the
+    nested array, then count per remapped value."""
+    from bcdc2bcdc_spark.operators.nested import remap_embedded_field
+
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct(F.col("l_suppkey").cast("string").alias("member"))).alias("members")
+    )
+    mapping = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("frm"), F.col("s_name").alias("too")
+    )
+    remapped = remap_embedded_field(nested, "members", "member", mapping, "frm", "too")
+    return (
+        remapped.select(F.explode("members").alias("m"))
+        .groupBy(F.col("m.member").alias("member"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_NESTED_REMAP = """
+    SELECT COALESCE(s.s_name, CAST(l.l_suppkey AS VARCHAR)) AS member,
+           COUNT(*) AS n
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1
+"""
+
+
+def q_backfill_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: dest-field backfill — pull the customer's nation key into an
+    order-derived payload; unmatched keys keep NULL (ADD semantics)."""
+    from bcdc2bcdc_spark.operators.nested import backfill_fields
+
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), F.col("o_orderkey").alias("payload")
+    ).withColumn("c_nationkey", F.lit(None).cast("int"))
+    dest = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), "c_nationkey"
+    )
+    out = backfill_fields(src, dest, ["key"], ["c_nationkey"])
+    return out.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_BACKFILL_JOIN = """
+    SELECT c.c_nationkey AS c_nationkey, COUNT(*) AS n
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "nested_project_filter": q_nested_project_filter,
+        "nested_remap": q_nested_remap,
+        "backfill_join": q_backfill_join,
+    }
+)
+ORACLES.update(
+    {
+        "nested_project_filter": SQL_NESTED_PROJECT_FILTER,
+        "nested_remap": SQL_NESTED_REMAP,
+        "backfill_join": SQL_BACKFILL_JOIN,
     }
 )

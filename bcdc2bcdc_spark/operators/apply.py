@@ -38,6 +38,9 @@ def apply_changes(
     compare_cols: Sequence[str] = COMPARE_COLS,
     suppress_noops: bool = True,
     digest_impl: str = "jvm",
+    base_digest_col: str | None = None,
+    changes_digest_col: str | None = None,
+    out_digest_col: str | None = None,
 ) -> DataFrame:
     """Return the post-apply snapshot. ``changes`` must be key-unique
     (run lww_dedup first) and canonicalized; output columns == base's.
@@ -45,14 +48,37 @@ def apply_changes(
     ADD and UPDATE are both upserts; DELETE on a missing key is a no-op —
     branch-complete MERGE semantics, so replaying a change set is
     idempotent: apply(apply(B, C), C) == apply(B, C).
+
+    ``base_digest_col``/``changes_digest_col`` name PRE-COMPUTED digest
+    columns (the lake table persists one) — at scale this turns the merge's
+    digest work from O(touched rows) per epoch into zero.
     """
-    base_cols = list(base.columns)
+    if base_digest_col:
+        base = base.withColumnRenamed(base_digest_col, "_b_digest")
+    if changes_digest_col:
+        changes = changes.withColumnRenamed(changes_digest_col, "_c_digest")
+    base_cols = [c for c in base.columns if c != "_b_digest"]
     payload_cols = [c for c in base_cols if c not in key_cols]
 
-    b = with_row_digest(base, list(compare_cols), "_b_digest", impl=digest_impl)
-    c = with_row_digest(changes, list(compare_cols), "_c_digest", impl=digest_impl)
-    b_struct = F.struct(*[F.col(f"b.{p}").alias(p) for p in payload_cols])
-    c_struct = F.struct(*[F.col(f"c.{p}").alias(p) for p in payload_cols])
+    b = (
+        base
+        if base_digest_col
+        else with_row_digest(base, list(compare_cols), "_b_digest", impl=digest_impl)
+    )
+    c = (
+        changes
+        if changes_digest_col
+        else with_row_digest(changes, list(compare_cols), "_c_digest", impl=digest_impl)
+    )
+    out_cols = list(payload_cols)
+    b_fields = [F.col(f"b.{p}").alias(p) for p in payload_cols]
+    c_fields = [F.col(f"c.{p}").alias(p) for p in payload_cols]
+    if out_digest_col:
+        out_cols.append(out_digest_col)
+        b_fields.append(F.col("_b_digest").alias(out_digest_col))
+        c_fields.append(F.col("_c_digest").alias(out_digest_col))
+    b_struct = F.struct(*b_fields)
+    c_struct = F.struct(*c_fields)
 
     joined = b.alias("b").join(c.alias("c"), list(key_cols), "full_outer")
     matched = F.col("_b_digest").isNotNull()
@@ -74,5 +100,5 @@ def apply_changes(
     return (
         joined.withColumn("_row", chosen)
         .filter(F.col("_row").isNotNull())
-        .select(*key_cols, *[F.col(f"_row.{p}").alias(p) for p in payload_cols])
+        .select(*key_cols, *[F.col(f"_row.{p}").alias(p) for p in out_cols])
     )

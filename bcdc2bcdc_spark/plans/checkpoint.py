@@ -21,7 +21,7 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from bcdc2bcdc_spark.schema import LINEAGE_SCHEMA, OP_DELETE
 
@@ -93,24 +93,31 @@ class CheckpointStore:
         )
 
 
-def lineage_metrics(batch: DataFrame, epoch: int) -> DataFrame:
+def lineage_metrics(batch: DataFrame, epoch: int, bucket_expr: Column | None = None) -> DataFrame:
     """Per-input-partition metrics for one epoch's raw event batch:
     (epoch, partition_id, events_applied, upserts, deletes, bytes).
 
     One map-side partial aggregation over the batch — ``spark_partition_id``
     keys are already co-located, so the shuffle moves O(partitions) rows.
     Invariant (tested): sum(events_applied) == epoch event count.
+
+    This ONE job also carries everything else the epoch needs from a scan
+    of the raw batch — offset bounds and (when ``bucket_expr`` is given)
+    the distinct lake buckets each partition touches — so the pipeline
+    never scans the batch for bookkeeping twice. The ``_``-prefixed
+    columns are stripped before persisting.
     """
-    return batch.groupBy(
-        F.lit(epoch).cast("long").alias("epoch"),
-        F.spark_partition_id().alias("partition_id"),
-    ).agg(
+    aggs = [
         F.count(F.lit(1)).alias("events_applied"),
         F.sum(F.when(F.col("op") != OP_DELETE, 1).otherwise(0)).alias("upserts"),
         F.sum(F.when(F.col("op") == OP_DELETE, 1).otherwise(0)).alias("deletes"),
         F.sum(F.coalesce(F.octet_length("content"), F.lit(0))).cast("long").alias("bytes"),
-        # offset bounds ride in the same aggregation so the pipeline needs
-        # no separate min/max job per epoch; stripped before persisting.
         F.min("event_seq").alias("_offset_lo"),
         F.max("event_seq").alias("_offset_hi"),
-    )
+    ]
+    if bucket_expr is not None:
+        aggs.append(F.collect_set(bucket_expr).alias("_buckets"))
+    return batch.groupBy(
+        F.lit(epoch).cast("long").alias("epoch"),
+        F.spark_partition_id().alias("partition_id"),
+    ).agg(*aggs)

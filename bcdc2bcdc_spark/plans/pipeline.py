@@ -40,7 +40,9 @@ class CDCPipeline:
     ``upsert(changes, digest_impl=...)`` (HashBucketParquetTable or
     IcebergLakeTable). ``transforms`` are named canonicalizers applied in
     order after the built-in null-ish canonicalization (the reference's
-    config-dispatched CustomTransformers, T4).
+    config-dispatched CustomTransformers, T4); they must be
+    KEY-PRESERVING (never rewrite repo/path) — bucket discovery reads the
+    raw batch.
     """
 
     table: object
@@ -81,14 +83,30 @@ class CDCPipeline:
         """
         if self.checkpoints.is_committed(epoch):
             return False
-        winners = self.prepare_batch(events)
-        self.table.upsert(winners, digest_impl=self.digest_impl)
-        # ONE aggregation job yields lineage AND offset bounds; the rows are
-        # O(input partitions), so collecting + re-creating locally is free
-        # and avoids a second scan of the epoch.
-        lineage_rows = lineage_metrics(events, epoch).collect()
+        # ONE bookkeeping job over the raw batch yields lineage, offset
+        # bounds AND the touched lake buckets (rows are O(input partitions),
+        # collect is free); the upsert then executes the
+        # canonicalize→dedup→merge plan exactly once. Crash order is safe:
+        # lineage is overwrite-idempotent, the upsert is idempotent, the
+        # marker is last.
+        bucket_expr = None
+        if hasattr(self.table, "bucket_expr"):
+            bucket_expr = self.table.bucket_expr()
+            if self.ignore_repos:
+                # ignored repos never reach the table; don't read their buckets
+                bucket_expr = F.when(
+                    ~F.col("repo").isin(*self.ignore_repos), bucket_expr
+                )
+        lineage_rows = lineage_metrics(events, epoch, bucket_expr).collect()
         lo = min((r["_offset_lo"] for r in lineage_rows), default=-1)
         hi = max((r["_offset_hi"] for r in lineage_rows), default=-1)
+        touched = None
+        if bucket_expr is not None:
+            touched = sorted({b for r in lineage_rows for b in (r["_buckets"] or [])})
+
+        winners = self.prepare_batch(events)
+        self.table.upsert(winners, digest_impl=self.digest_impl, touched=touched)
+
         spark = events.sparkSession
         from bcdc2bcdc_spark.schema import LINEAGE_SCHEMA
 

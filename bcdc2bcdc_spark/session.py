@@ -28,6 +28,11 @@ _DEFAULT_CONF = {
     # partitions present in the upsert output, leave the rest untouched.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "snappy",
+    # Write path: v2 committer moves task output directly (no serial
+    # driver-side job-commit rename pass) and parquet summary files off —
+    # both standard large-cluster settings.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    "spark.hadoop.parquet.summary.metadata.level": "NONE",
     # Quieter, smaller driver at test scale.
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from bcdc2bcdc_spark.functions.digest import with_row_digest
 from bcdc2bcdc_spark.operators.apply import apply_changes
 from bcdc2bcdc_spark.operators.diff import COMPARE_COLS
 from bcdc2bcdc_spark.schema import KEY_COLS, OP_DELETE
@@ -64,6 +65,10 @@ class HashBucketParquetTable:
     key_cols: tuple[str, ...] = KEY_COLS
     n_buckets: int = 16
     protected: bool = False
+    #: canonical compare payload; its digest is PERSISTED as a `_digest`
+    #: column so merges compare stored digests instead of recomputing over
+    #: every touched row each epoch (zero digest work on the base side).
+    compare_cols: tuple[str, ...] = COMPARE_COLS
 
     @property
     def data_path(self) -> str:
@@ -83,11 +88,15 @@ class HashBucketParquetTable:
                 "refusing mutation"
             )
 
-    def init(self, df: DataFrame) -> None:
-        """Create the table from a snapshot. Overwrites any prior state."""
+    def init(self, df: DataFrame, digest_impl: str = "jvm") -> None:
+        """Create the table from a snapshot. Overwrites any prior state.
+        Computes and persists the `_digest` column."""
         self._check_writable()
+        with_digest = with_row_digest(
+            df, [c for c in self.compare_cols if c in df.columns], "_digest", impl=digest_impl
+        )
         (
-            df.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
+            with_digest.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
             .repartition("_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
@@ -99,6 +108,7 @@ class HashBucketParquetTable:
                 {
                     "key_cols": list(self.key_cols),
                     "n_buckets": self.n_buckets,
+                    "compare_cols": list(self.compare_cols),
                     "schema": df.schema.jsonValue(),
                 },
                 fh,
@@ -108,7 +118,11 @@ class HashBucketParquetTable:
         with open(self.meta_path) as fh:
             data_schema = T.StructType.fromJson(json.load(fh)["schema"])
         return T.StructType(
-            list(data_schema.fields) + [T.StructField("_bucket", T.IntegerType(), True)]
+            list(data_schema.fields)
+            + [
+                T.StructField("_digest", T.StringType(), True),
+                T.StructField("_bucket", T.IntegerType(), True),
+            ]
         )
 
     def _read_raw(self) -> DataFrame:
@@ -117,13 +131,20 @@ class HashBucketParquetTable:
         return self.spark.read.schema(self._schema()).parquet(self.data_path)
 
     def read(self) -> DataFrame:
-        return self._read_raw().drop("_bucket")
+        return self._read_raw().drop("_bucket", "_digest")
+
+    def bucket_expr(self) -> F.Column:
+        """The table's bucket assignment expression — callers that already
+        scan the change batch (lineage) can collect touched buckets in the
+        same job and pass them to ``upsert(touched=...)``."""
+        return _bucket_expr(self.key_cols, self.n_buckets)
 
     def upsert(
         self,
         changes: DataFrame,
         compare_cols: Sequence[str] = COMPARE_COLS,
         digest_impl: str = "jvm",
+        touched: Sequence[int] | None = None,
     ) -> None:
         """MERGE the key-unique change set (payload + ``op``) into the table.
 
@@ -132,15 +153,21 @@ class HashBucketParquetTable:
         overwrite). Deterministic input ⇒ deterministic bucket contents, so
         a crashed-then-replayed upsert rewrites identical files — replay
         safety does not depend on the file commit being atomic.
+
+        ``touched`` may pass a precomputed (superset of the) touched-bucket
+        id set, saving this method its own discovery job — the change-set
+        plan (canonicalize + LWW dedup) then executes exactly once.
         """
         self._check_writable()
         changes_b = changes.withColumn(
             "_bucket", _bucket_expr(self.key_cols, self.n_buckets)
         )
-        # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
-        touched = [
-            r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()
-        ]
+        if touched is None:
+            # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
+            touched = [
+                r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()
+            ]
+        touched = sorted(set(touched))
         if not touched:
             return
         base = (
@@ -148,12 +175,20 @@ class HashBucketParquetTable:
             .filter(F.col("_bucket").isin(touched))  # partition pruning
             .drop("_bucket")
         )
+        # digest the (small) change set once; the base side reads its
+        # persisted digest — no recompute over touched rows
+        changes_d = with_row_digest(
+            changes_b.drop("_bucket"), list(compare_cols), "_cdigest", impl=digest_impl
+        )
         merged = apply_changes(
             base,
-            changes_b.drop("_bucket"),
+            changes_d,
             key_cols=self.key_cols,
             compare_cols=compare_cols,
             digest_impl=digest_impl,
+            base_digest_col="_digest",
+            changes_digest_col="_cdigest",
+            out_digest_col="_digest",
         ).withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
         # One shuffle by bucket so each partition dir is written by few
         # tasks (no small-file explosion), then ONE write job. No caching:

@@ -165,3 +165,43 @@ def test_ignored_repos_exist_in_generated_data(spark):
         for r in ev.filter(F.col("repo").isin(*IGNORED_REPOS)).select("repo").distinct().collect()
     }
     assert present  # generator produces ignore-listed traffic for the skip tests
+
+
+def test_snapshot_diff_alternate_key(spark):
+    """J5 analog: delta matched on an ALTERNATE key (the reference matches
+    users on email instead of name, CKANData.py:1650-1759). Here: diff two
+    lake-shaped tables keyed on `path` alone."""
+    src, dest, _ = gen_snapshot_pair(spark, n_keys=300, seed=19)
+    # path is unique per key_id by construction → a valid alternate key
+    alt = snapshot_diff(src, dest, key_cols=("path",))
+    default = snapshot_diff(src, dest)
+    got_alt = {r["op"]: r["count"] for r in alt.groupBy("op").count().collect()}
+    got_def = {r["op"]: r["count"] for r in default.groupBy("op").count().collect()}
+    assert got_alt == got_def  # same logical delta through either key
+
+
+def test_pipeline_applies_evolved_events(spark, tmp_path):
+    """Old-schema events (int32 seq, missing size) reconciled via
+    mapInArrow flow through the pipeline end-to-end (M7)."""
+    from bcdc2bcdc_spark.evolution import evolve_events
+    from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+    from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+    from bcdc2bcdc_spark.schema import EVENTS_EVOLVED_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=150, seed=23))
+    ev = gen_events(spark, n_events=600, n_keys=150, n_epochs=1, seed=23)
+    old = ev.drop("epoch").withColumn("event_seq", F.col("event_seq").cast("int"))
+    evolved = evolve_events(old, EVENTS_EVOLVED_SCHEMA)
+
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    table.init(base)
+    pipe = CDCPipeline(table=table, checkpoints=CheckpointStore(str(tmp_path / "ck")))
+    assert pipe.apply_epoch(evolved.drop("size"), 0)
+
+    # reference result from the unevolved events must match exactly
+    t2 = HashBucketParquetTable(spark, str(tmp_path / "lake2"), n_buckets=8)
+    t2.init(base)
+    p2 = CDCPipeline(table=t2, checkpoints=CheckpointStore(str(tmp_path / "ck2")))
+    p2.apply_epoch(ev.drop("epoch"), 0)
+    assert datasets_equal(table.read(), t2.read())
