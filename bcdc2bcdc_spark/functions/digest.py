@@ -57,22 +57,33 @@ def sha256_arrow(s: pd.Series) -> pd.Series:
 
 
 def row_digest_expr(cols: list[Column | str]) -> Column:
-    """Digest of the canonical payload of a row: each column null-tagged,
-    joined with an unambiguous separator, sha256'd JVM-side. Equal digests
-    ⇔ equal canonical payloads (up to sha256 collision)."""
-    tagged = [_tagged(F.col(c) if isinstance(c, str) else c) for c in cols]
-    return F.sha2(F.concat_ws(_SEP, *tagged), 256)
+    """Digest of the canonical payload of a row.
+
+    Each column is hashed INDIVIDUALLY first (fixed-width hex), then the
+    per-column digests are concatenated and hashed again. Because the
+    inner digests have fixed length, no value can imitate a column
+    boundary — the mapping payload→digest is injective up to sha256
+    collisions (a plain tagged-concat scheme is NOT: a value containing
+    ``\\x1fv:`` forges a boundary)."""
+    inner = [F.sha2(_tagged(F.col(c) if isinstance(c, str) else c), 256) for c in cols]
+    if len(inner) == 1:
+        return inner[0]
+    return F.sha2(F.concat_ws(_SEP, *inner), 256)
 
 
 @pandas_udf(T.StringType())
 def _row_digest_arrow(*series: pd.Series) -> pd.Series:
     frame = pd.concat(series, axis=1)
 
+    def cell(v: object) -> str:
+        data = _NULL_TAG if v is None or pd.isna(v) else _VAL_TAG + str(v)
+        return hashlib.sha256(data.encode("utf-8")).hexdigest()
+
     def one(row: tuple) -> str:
-        parts = [
-            _NULL_TAG if v is None or pd.isna(v) else _VAL_TAG + str(v) for v in row
-        ]
-        return hashlib.sha256(_SEP.join(parts).encode("utf-8")).hexdigest()
+        inner = [cell(v) for v in row]
+        if len(inner) == 1:
+            return inner[0]
+        return hashlib.sha256(_SEP.join(inner).encode("utf-8")).hexdigest()
 
     return pd.Series([one(t) for t in frame.itertuples(index=False, name=None)])
 

@@ -48,7 +48,7 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def bench_pipeline(spark, sf_dir: str, workdir: str, n_epochs: int = 4,
+def bench_pipeline(spark, sf_dir: str, workdir: str, n_epochs: int = 2,
                    digest_impl: str = "arrow") -> dict:
     """Full engine run: empty lake + every derived event applied in epochs."""
     ev = cdc_events(spark, sf_dir)

@@ -24,10 +24,11 @@ def canon(v):
 
 
 def digest(lang, content) -> str:
-    parts = []
+    inner = []
     for v in (canon(lang), canon(content)):
-        parts.append("n:" if v is None else "v:" + str(v))
-    return hashlib.sha256("\x1f".join(parts).encode()).hexdigest()
+        data = "n:" if v is None else "v:" + str(v)
+        inner.append(hashlib.sha256(data.encode()).hexdigest())
+    return hashlib.sha256("\x1f".join(inner).encode()).hexdigest()
 
 
 def replay(base_df: pd.DataFrame, events_df: pd.DataFrame, ignored_repos=()) -> pd.DataFrame:
