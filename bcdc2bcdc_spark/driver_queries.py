@@ -839,3 +839,23 @@ ORACLES.update(
         "backfill_join": SQL_BACKFILL_JOIN,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: the same engine semantics through spark.sql text
+# ---------------------------------------------------------------------------
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LWW-state query expressed as SQL TEXT over registered views —
+    demonstrates the engine's spark.sql surface; Catalyst produces the
+    same plan as the DataFrame formulation."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    sql = (
+        SQL_CDC_STATE.replace("FROM lineitem", "FROM lineitem_v")
+        .replace("AS VARCHAR", "AS STRING")  # dialect: duckdb VARCHAR → spark STRING
+    )
+    return spark.sql(sql)
+
+
+QUERIES["sql_surface"] = q_sql_surface
+ORACLES["sql_surface"] = SQL_CDC_STATE

@@ -212,6 +212,32 @@ class HashBucketParquetTable:
                 if os.path.isdir(part_dir):
                     shutil.rmtree(part_dir)
 
+    def compact(self, max_files_per_bucket: int = 4) -> list[int]:
+        """Small-file maintenance: rewrite every bucket whose partition dir
+        holds more than ``max_files_per_bucket`` parquet files into a
+        single coalesced file set. Epoch upserts append task-sized files;
+        over many epochs a bucket accumulates them — at 100 TB this is the
+        Iceberg ``rewrite_data_files`` action; here it is a per-bucket
+        read→repartition(1 per bucket)→dynamic-overwrite. Content is
+        unchanged (idempotent); returns the compacted bucket ids."""
+        self._check_writable()
+        crowded = [
+            b
+            for b in range(self.n_buckets)
+            if len(self._part_files(b)) > max_files_per_bucket
+        ]
+        if not crowded:
+            return []
+        (
+            self._read_raw()
+            .filter(F.col("_bucket").isin(crowded))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self.data_path)
+        )
+        return crowded
+
     def _part_files(self, bucket: int) -> set[str]:
         part_dir = os.path.join(self.data_path, f"_bucket={bucket}")
         if not os.path.isdir(part_dir):

@@ -204,3 +204,71 @@ def test_lineage_idempotent_under_replay(spark, tmp_path):
     }
     want = {r["epoch"]: r["count"] for r in ev.groupBy("epoch").count().collect()}
     assert got == want
+
+
+def test_empty_epoch_commits_cleanly(spark, tmp_path):
+    """An epoch with zero events must still commit its marker (offset -1)
+    and leave the table untouched."""
+    base = gen_repos(spark, n_keys=100, seed=3)
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(base))
+    empty = gen_events(spark, n_events=10, n_keys=10, seed=3).drop("epoch").limit(0)
+    before = table.read().cache()
+    assert pipe.apply_epoch(empty, 0) is True
+    assert cp.is_committed(0)
+    assert cp.read_offsets(0)["offset_start"] == -1
+    assert datasets_equal(table.read(), before)
+    before.unpersist()
+
+
+def test_all_ignored_epoch_is_noop_but_counted(spark, tmp_path):
+    """An epoch consisting only of ignore-listed repos: table untouched,
+    lineage still counts the raw events (they were tailed, then skipped)."""
+    base = gen_repos(spark, n_keys=100, seed=4)
+    ev = gen_events(spark, n_events=3000, n_keys=600, seed=4).filter(
+        F.col("repo").isin(*IGNORED_REPOS)
+    ).drop("epoch")
+    n = ev.count()
+    assert n > 0
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(base))
+    before = table.read().cache()
+    assert pipe.apply_epoch(ev, 0) is True
+    assert datasets_equal(table.read(), before)
+    got = cp.read_lineage(spark).agg(F.sum("events_applied")).first()[0]
+    assert got == n
+    before.unpersist()
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    base = gen_repos(spark, n_keys=300, seed=15)
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(base))
+    # upsert keeps buckets single-generation (dynamic overwrite); crowding
+    # comes from APPEND-mode writers (streaming sinks, external loaders) —
+    # simulate one: append extra rows as new files into existing buckets
+    # disjoint keys: base used key ids 0..299 → file numbers < 300
+    extra = canonicalize_snapshot(gen_repos(spark, n_keys=900, seed=16)).filter(
+        F.regexp_extract("path", r"file_(\d+)", 1).cast("int") >= 300
+    )
+    from bcdc2bcdc_spark.functions.digest import with_row_digest
+    from bcdc2bcdc_spark.sources.lake import _bucket_expr
+
+    (
+        with_row_digest(extra, ["lang", "content"], "_digest")
+        .withColumn("_bucket", _bucket_expr(table.key_cols, table.n_buckets))
+        .repartition(4, "_bucket")
+        .write.mode("append")
+        .partitionBy("_bucket")
+        .parquet(table.data_path)
+    )
+    before = table.read().cache()
+    n_files_before = sum(len(table._part_files(b)) for b in range(table.n_buckets))
+    compacted = table.compact(max_files_per_bucket=1)
+    assert compacted  # something was crowded
+    n_files_after = sum(len(table._part_files(b)) for b in range(table.n_buckets))
+    assert n_files_after < n_files_before
+    assert datasets_equal(table.read(), before)  # content untouched
+    # idempotent: compacting a compacted table is a no-op
+    assert table.compact(max_files_per_bucket=1) == []
+    before.unpersist()
