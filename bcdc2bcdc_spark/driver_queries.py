@@ -21,7 +21,7 @@ Integer-only value derivations keep Spark/DuckDB results bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from bcdc2bcdc_spark.operators.lww import lww_dedup
 
@@ -859,3 +859,81 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_surface"] = q_sql_surface
 ORACLES["sql_surface"] = SQL_CDC_STATE
+
+
+# ---------------------------------------------------------------------------
+# relational breadth: window / semi-join / having
+# ---------------------------------------------------------------------------
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-2 orders per customer by price (deterministic
+    tie-break on orderkey) — the generic top-N-per-group pattern."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.col("o_totalprice").cast("decimal(18,2)")), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+            "rnk",
+        )
+    )
+
+
+SQL_WINDOW_TOPN = """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 2
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS): orders containing a line item with quantity ≥ 48."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_semi"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+SQL_SEMI_JOIN = """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+"""
+
+
+def q_having_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + HAVING: nations with more than 60 customers."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 60)
+    )
+
+
+SQL_HAVING_AGG = """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n_name HAVING COUNT(*) > 60
+"""
+
+
+QUERIES.update(
+    {"window_topn": q_window_topn, "semi_join": q_semi_join, "having_agg": q_having_agg}
+)
+ORACLES.update(
+    {"window_topn": SQL_WINDOW_TOPN, "semi_join": SQL_SEMI_JOIN, "having_agg": SQL_HAVING_AGG}
+)
