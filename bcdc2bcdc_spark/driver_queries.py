@@ -913,21 +913,24 @@ SQL_SEMI_JOIN = """
 
 
 def q_having_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + aggregate + HAVING: nations with more than 60 customers."""
+    """Join + aggregate + HAVING with a scale-relative threshold: nations
+    holding more than 1/30th of all customers (non-degenerate at every sf)."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    threshold = c.count() // 30
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .filter(F.col("n_customers") > 60)
+        .filter(F.col("n_customers") > threshold)
     )
 
 
 SQL_HAVING_AGG = """
     SELECT n_name, COUNT(*) AS n_customers
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n_name HAVING COUNT(*) > 60
+    GROUP BY n_name
+    HAVING COUNT(*) > (SELECT CAST(FLOOR(COUNT(*) / 30.0) AS BIGINT) FROM customer)
 """
 
 
