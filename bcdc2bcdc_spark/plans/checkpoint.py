@@ -26,6 +26,20 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from bcdc2bcdc_spark.schema import LINEAGE_SCHEMA, OP_DELETE
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A live writer already owns this checkpoint store / lake table."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 @dataclass
 class CheckpointStore:
     path: str
@@ -75,6 +89,46 @@ class CheckpointStore:
 
     def _marker(self, epoch: int) -> str:
         return os.path.join(self.offsets_dir, f"epoch_{epoch}.json")
+
+    # -- single-writer lock ------------------------------------------------
+    # The exactly-once story assumes one writer per lake table. The lock is
+    # an O_EXCL-created file holding the owner pid; a lock whose pid is dead
+    # is stale and stolen. (On a real cluster this is the driver's job-level
+    # lock; Iceberg additionally rejects concurrent conflicting commits.)
+
+    @property
+    def lock_path(self) -> str:
+        return os.path.join(self.path, "writer.lock")
+
+    def acquire_writer_lock(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    with open(self.lock_path) as fh:
+                        pid = int(fh.read().strip() or "-1")
+                except (OSError, ValueError):
+                    pid = -1
+                if pid > 0 and _pid_alive(pid) and pid != os.getpid():
+                    raise ConcurrentWriterError(
+                        f"another writer (pid {pid}) holds {self.lock_path}"
+                    )
+                # stale (dead pid) or our own → steal
+                try:
+                    os.remove(self.lock_path)
+                except FileNotFoundError:
+                    pass
+
+    def release_writer_lock(self) -> None:
+        try:
+            os.remove(self.lock_path)
+        except FileNotFoundError:
+            pass
 
     def write_lineage(self, epoch: int, lineage_df: DataFrame) -> None:
         """Idempotent under replay: each epoch's lineage lives in its own

@@ -54,11 +54,28 @@ class CDCPipeline:
     key_cols: Sequence[str] = KEY_COLS
     order_cols: Sequence[str] = ORDER_COLS
     transforms: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
+    #: dead-letter location: malformed events (null business key after
+    #: canonicalization — unmergeable) are written here per epoch instead
+    #: of poisoning the lake; None keeps only the drop (always applied).
+    quarantine_dir: str | None = None
+
+    def _malformed_pred(self):
+        # keys are never rewritten, but a null-ish key ('' / 'None' / NULL)
+        # cannot identify a lake row → the event is unmergeable
+        from bcdc2bcdc_spark.functions.canonicalize import canonical_nullish
+
+        pred = None
+        for k in self.key_cols:
+            c = canonical_nullish(F.col(k)).isNull()
+            pred = c if pred is None else (pred | c)
+        return pred
 
     def prepare_batch(self, events: DataFrame) -> DataFrame:
-        """Canonicalize → ignore-filter → custom transforms → LWW dedup.
-        Pure DataFrame→DataFrame; shared by batch, resume and streaming."""
+        """Canonicalize → drop malformed → ignore-filter → custom
+        transforms → LWW dedup. Pure DataFrame→DataFrame; shared by batch,
+        resume and streaming."""
         batch = canonicalize_events(events)
+        batch = batch.filter(~self._malformed_pred())
         if self.ignore_repos:
             # static ignore registry → broadcast-able NOT-isin filter
             # (reference P3/P4: CKANTransform.py:232-251, CKANUpdate.py:85-117)
@@ -104,6 +121,12 @@ class CDCPipeline:
         if bucket_expr is not None:
             touched = sorted({b for r in lineage_rows for b in (r["_buckets"] or [])})
 
+        if self.quarantine_dir is not None:
+            # dead-letter: overwrite-per-epoch (replay-idempotent like lineage)
+            canonicalize_events(events).filter(self._malformed_pred()).write.mode(
+                "overwrite"
+            ).parquet(f"{self.quarantine_dir}/epoch={epoch}")
+
         winners = self.prepare_batch(events)
         self.table.upsert(winners, digest_impl=self.digest_impl, touched=touched)
 
@@ -130,7 +153,11 @@ class CDCPipeline:
             r[epoch_col] for r in events.select(epoch_col).distinct().collect()
         )
         results: dict[int, bool] = {}
-        for ep in epochs:
-            batch = events.filter(F.col(epoch_col) == ep).drop(epoch_col)
-            results[ep] = self.apply_epoch(batch, int(ep))
+        self.checkpoints.acquire_writer_lock()
+        try:
+            for ep in epochs:
+                batch = events.filter(F.col(epoch_col) == ep).drop(epoch_col)
+                results[ep] = self.apply_epoch(batch, int(ep))
+        finally:
+            self.checkpoints.release_writer_lock()
         return results

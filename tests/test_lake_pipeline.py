@@ -272,3 +272,50 @@ def test_compact_reduces_files_preserves_content(spark, tmp_path):
     # idempotent: compacting a compacted table is a no-op
     assert table.compact(max_files_per_bucket=1) == []
     before.unpersist()
+
+
+def test_malformed_events_quarantined(spark, tmp_path):
+    """Null-business-key events (unmergeable) go to the dead-letter dir,
+    never the lake; '' keys canonicalize to NULL and count as malformed."""
+    base = gen_repos(spark, n_keys=100, seed=44)
+    good = gen_events(spark, n_events=400, n_keys=100, n_epochs=1, seed=44).drop("epoch")
+    bad = spark.createDataFrame(
+        [
+            (None, "p.py", "0" * 40, "py", "x", "ADD", 9_000_001),
+            ("org/r", None, "0" * 40, "py", "y", "UPDATE", 9_000_002),
+            ("", "q.py", "0" * 40, "py", "z", "ADD", 9_000_003),  # ''→NULL
+        ],
+        "repo string, path string, commit string, lang string, content string, op string, event_seq long",
+    )
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    pipe.quarantine_dir = str(tmp_path / "dead")
+    table.init(canonicalize_snapshot(base))
+    pipe.apply_epoch(good.unionByName(bad), 0)
+    assert table.read().filter(F.col("repo").isNull() | F.col("path").isNull()).count() == 0
+    dead = spark.read.parquet(str(tmp_path / "dead" / "epoch=0"))
+    assert dead.count() == 3
+    assert {r["event_seq"] for r in dead.collect()} == {9_000_001, 9_000_002, 9_000_003}
+
+
+def test_concurrent_writer_lock(spark, tmp_path):
+    import os
+
+    from bcdc2bcdc_spark.plans.checkpoint import ConcurrentWriterError
+
+    table, cp, pipe = _mk_pipeline(spark, tmp_path)
+    table.init(canonicalize_snapshot(gen_repos(spark, n_keys=50, seed=1)))
+    ev = gen_events(spark, n_events=100, n_keys=50, n_epochs=1, seed=1)
+
+    # a LIVE foreign pid holds the lock → run() must refuse
+    os.makedirs(cp.path, exist_ok=True)
+    with open(cp.lock_path, "w") as fh:
+        fh.write("1")  # pid 1 (init) is alive and not us
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriterError):
+        pipe.run(ev)
+    # a DEAD pid is stale → stolen, run proceeds, lock released after
+    with open(cp.lock_path, "w") as fh:
+        fh.write("999999999")
+    assert list(pipe.run(ev).values()) == [True]
+    assert not os.path.exists(cp.lock_path)
