@@ -26,7 +26,6 @@ import uuid
 from pyspark.sql import DataFrame, functions as F
 
 from bcdc2bcdc_spark.functions.canonicalize import canonicalize_events
-from bcdc2bcdc_spark.generator import IGNORED_REPOS
 from bcdc2bcdc_spark.operators.lww import lww_dedup
 from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore, lineage_metrics
 from bcdc2bcdc_spark.schema import KEY_COLS, ORDER_COLS
@@ -47,7 +46,7 @@ class CDCPipeline:
 
     table: object
     checkpoints: CheckpointStore
-    ignore_repos: tuple[str, ...] = IGNORED_REPOS
+    ignore_repos: tuple[str, ...] = ()  # config-driven (TransformConfig.ignore_repos)
     lww_strategy: str = "maxby"
     n_salts: int = 16
     digest_impl: str = "arrow"  # north-rule mandated default; "jvm" is faster

@@ -95,6 +95,7 @@ def test_iceberg_merge_sql_branches():
 def _mk_pipeline(spark, tmp_path, **kw):
     table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=8)
     cp = CheckpointStore(str(tmp_path / "ckpt"))
+    kw.setdefault("ignore_repos", IGNORED_REPOS)
     return table, cp, CDCPipeline(table=table, checkpoints=cp, **kw)
 
 

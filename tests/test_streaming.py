@@ -21,9 +21,11 @@ def _events_cols(df):
 
 
 def _mk(spark, tmp_path, sub):
+    from bcdc2bcdc_spark.generator import IGNORED_REPOS
+
     table = HashBucketParquetTable(spark, str(tmp_path / sub / "lake"), n_buckets=8)
     cp = CheckpointStore(str(tmp_path / sub / "ckpt"))
-    pipe = CDCPipeline(table=table, checkpoints=cp)
+    pipe = CDCPipeline(table=table, checkpoints=cp, ignore_repos=IGNORED_REPOS)
     return table, pipe
 
 
