@@ -114,16 +114,40 @@ class HashBucketParquetTable:
                 fh,
             )
 
-    def _schema(self) -> T.StructType:
+    def data_schema(self) -> T.StructType:
         with open(self.meta_path) as fh:
-            data_schema = T.StructType.fromJson(json.load(fh)["schema"])
+            return T.StructType.fromJson(json.load(fh)["schema"])
+
+    def _schema(self) -> T.StructType:
         return T.StructType(
-            list(data_schema.fields)
+            list(self.data_schema().fields)
             + [
                 T.StructField("_digest", T.StringType(), True),
                 T.StructField("_bucket", T.IntegerType(), True),
             ]
         )
+
+    def evolve(self, incoming: T.StructType) -> bool:
+        """Widen the table schema to accept ``incoming`` payload columns:
+        new columns append (existing files backfill NULL on read — the
+        explicit-schema read makes this free, exactly like Iceberg
+        ADD COLUMN); widened types update; narrowing raises. Metadata-only —
+        no data files are rewritten. Returns True if the schema changed."""
+        from bcdc2bcdc_spark.evolution import unioned_schema
+
+        current = self.data_schema()
+        evolved = unioned_schema(current, incoming)
+        if evolved.jsonValue() == current.jsonValue():
+            return False
+        self._check_writable()
+        with open(self.meta_path) as fh:
+            meta = json.load(fh)
+        meta["schema"] = evolved.jsonValue()
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self.meta_path)
+        return True
 
     def _read_raw(self) -> DataFrame:
         # Explicit schema: no inference pass (one less listing at scale) and
@@ -159,6 +183,7 @@ class HashBucketParquetTable:
         plan (canonicalize + LWW dedup) then executes exactly once.
         """
         self._check_writable()
+        changes = self._evolve_and_reconcile(changes)
         changes_b = changes.withColumn(
             "_bucket", _bucket_expr(self.key_cols, self.n_buckets)
         )
@@ -211,6 +236,28 @@ class HashBucketParquetTable:
                 part_dir = os.path.join(self.data_path, f"_bucket={b}")
                 if os.path.isdir(part_dir):
                     shutil.rmtree(part_dir)
+
+    #: event-control columns that never belong to the table schema
+    _CONTROL_COLS = ("op", "event_seq", "epoch")
+
+    def _evolve_and_reconcile(self, changes: DataFrame) -> DataFrame:
+        """Schema evolution at the MERGE boundary: payload columns the
+        table lacks widen the table (metadata-only, NULL-backfilled reads);
+        payload columns the changes lack materialize as typed NULLs
+        (old-producer events post the full replacement payload they know).
+        Plan-side only — column expressions, no data rewrite."""
+        from bcdc2bcdc_spark.evolution import reconcile_to_schema
+
+        incoming = T.StructType(
+            [f for f in changes.schema.fields if f.name not in self._CONTROL_COLS]
+        )
+        self.evolve(incoming)
+        target = self.data_schema()
+        full = T.StructType(
+            list(target.fields)
+            + [f for f in changes.schema.fields if f.name in self._CONTROL_COLS]
+        )
+        return reconcile_to_schema(changes, full)
 
     def compact(self, max_files_per_bucket: int = 4) -> list[int]:
         """Small-file maintenance: rewrite every bucket whose partition dir

@@ -320,3 +320,22 @@ def test_concurrent_writer_lock(spark, tmp_path):
         fh.write("999999999")
     assert list(pipe.run(ev).values()) == [True]
     assert not os.path.exists(cp.lock_path)
+
+
+def test_iceberg_upsert_issues_merge_sql(spark, monkeypatch):
+    """IcebergLakeTable.upsert registers the change view and issues the
+    branch-complete MERGE INTO (captured; no Iceberg jar in sandbox)."""
+    from bcdc2bcdc_spark.sources.lake import IcebergLakeTable
+
+    issued = []
+    monkeypatch.setattr(spark, "sql", lambda q: issued.append(q))
+    t = IcebergLakeTable(spark, "cat.db.repos")
+    ch = gen_events(spark, n_events=10, n_keys=5, seed=1).drop("epoch")
+    t.upsert(ch)
+    assert len(issued) == 1
+    sql = issued[0]
+    assert "MERGE INTO cat.db.repos t USING _cdc_changes s" in sql
+    assert "WHEN MATCHED AND s.op = 'DELETE' THEN DELETE" in sql
+    assert "WHEN NOT MATCHED AND s.op <> 'DELETE' THEN INSERT" in sql
+    # the registered view is queryable with the change rows
+    assert spark.table("_cdc_changes").count() == 10

@@ -190,3 +190,44 @@ def test_evolve_events_map_in_arrow(spark):
     rows = out.orderBy("event_seq").collect()
     assert rows[0]["size"] is None and rows[1]["op"] == "DELETE"
     assert out.count() == 2
+
+
+def test_lake_auto_evolves_on_upsert(spark, tmp_path):
+    """M7 end-to-end: an upsert carrying a NEW column widens the table
+    schema (metadata-only); old rows read back NULL; later old-schema
+    upserts still work (missing column → NULL payload)."""
+    from pyspark.sql import functions as F
+
+    from bcdc2bcdc_spark.functions.canonicalize import canonicalize_snapshot
+    from bcdc2bcdc_spark.generator import gen_events, gen_repos
+    from bcdc2bcdc_spark.operators.lww import lww_dedup
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=120, seed=31))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    table.init(base)
+
+    ev = gen_events(spark, n_events=400, n_keys=120, n_epochs=1, seed=31).drop("epoch")
+    evolved_ev = ev.withColumn("size", F.octet_length("content").cast("long"))
+    table.upsert(lww_dedup(evolved_ev))
+
+    out = table.read()
+    assert "size" in out.columns and dict(out.dtypes)["size"] == "bigint"
+    # untouched base rows backfill NULL; upserted rows carry their size
+    assert out.filter(F.col("size").isNotNull()).count() > 0
+    assert out.filter(F.col("size").isNull()).count() > 0
+
+    # an OLD-schema producer upserts afterwards: its rows get size=NULL
+    old_ev = gen_events(spark, n_events=200, n_keys=120, n_epochs=1, seed=32).drop("epoch")
+    old_ev = old_ev.withColumn("event_seq", F.col("event_seq") + 10_000)
+    table.upsert(lww_dedup(old_ev))
+    assert "size" in table.read().columns  # schema retained
+
+    # narrowing attempt is rejected
+    import pytest as _pytest
+
+    from bcdc2bcdc_spark.evolution import SchemaEvolutionError
+
+    bad = ev.withColumn("size", F.lit("not-a-long"))
+    with _pytest.raises(SchemaEvolutionError):
+        table.upsert(lww_dedup(bad))
