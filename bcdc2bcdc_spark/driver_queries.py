@@ -940,3 +940,30 @@ QUERIES.update(
 ORACLES.update(
     {"window_topn": SQL_WINDOW_TOPN, "semi_join": SQL_SEMI_JOIN, "having_agg": SQL_HAVING_AGG}
 )
+
+
+def q_diff_report_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: per-field change counts between the two derived states — the
+    queryable diff-detail report."""
+    from bcdc2bcdc_spark.operators.diff import diff_report
+
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq(ev)
+    src = cdc_state(ev, None)
+    dest = cdc_state(ev, half)
+    rep = diff_report(src, dest, compare_cols=("lang", "content"))
+    return rep.groupBy("field").agg(F.count(F.lit(1)).alias("n_changed"))
+
+
+SQL_DIFF_REPORT_FIELDS = f"""
+    WITH src AS ({SNAP_SQL.format(ev=EV_SQL, where="")}),
+         dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")}),
+         j AS (SELECT s.lang AS sl, d.lang AS dl, s.content AS sc, d.content AS dc
+               FROM src s JOIN dest d ON s.repo = d.repo AND s.path = d.path)
+    SELECT 'lang' AS field, COUNT(*) AS n_changed FROM j WHERE sl IS DISTINCT FROM dl
+    UNION ALL
+    SELECT 'content' AS field, COUNT(*) AS n_changed FROM j WHERE sc IS DISTINCT FROM dc
+"""
+
+QUERIES["diff_report_fields"] = q_diff_report_fields
+ORACLES["diff_report_fields"] = SQL_DIFF_REPORT_FIELDS

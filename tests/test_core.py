@@ -205,3 +205,19 @@ def test_pipeline_applies_evolved_events(spark, tmp_path):
     p2 = CDCPipeline(table=t2, checkpoints=CheckpointStore(str(tmp_path / "ck2")))
     p2.apply_epoch(ev.drop("epoch"), 0)
     assert datasets_equal(table.read(), t2.read())
+
+
+def test_diff_report_field_level(spark):
+    """D4: per-field detail — falsy-only differences excluded, changed
+    fields reported with both sides."""
+    from bcdc2bcdc_spark.operators.diff import diff_report
+
+    src, dest, manifest = gen_snapshot_pair(spark, n_keys=600, seed=9)
+    rep = diff_report(src, dest).cache()
+    # only content changes exist in the pair fixture (lang diffs are
+    # falsy-equivalent by construction) → every row is a content change
+    assert rep.filter(F.col("field") != "content").count() == 0
+    assert rep.select("repo", "path").distinct().count() == manifest["n_update"]
+    r = rep.first()
+    assert r["src_value"] != r["dest_value"]
+    rep.unpersist()
