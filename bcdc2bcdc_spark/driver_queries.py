@@ -704,10 +704,62 @@ SQL_ANN_TOPK = f"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (approximate — no SQL oracle; driver records the
-    rows-only check; recall vs exact is asserted in tests/test_dataops.py)."""
+    """IVF-bucketed ANN. Approximate vs the corpus, but fully DETERMINISTIC
+    (md5-ordered centroid pick, argmax cell assignment with deterministic
+    tie-breaks), so the whole index is expressible as SQL — the oracle
+    below mirrors centroid pick → cell assignment → probe → top-k exactly.
+    Recall vs the exact baseline is separately asserted in tests."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_cells=8, n_probe=4)
+
+
+def _ivf_sql(n_cells: int = 8, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of operators/ann.ivf_topk with the same parameters.
+    Cosines use list_dot_product (sequential fold — bit-identical to the
+    engine's zip_with/aggregate fold, verified), including the UNROUNDED
+    cosines that decide cell assignment."""
+    cos_vc = _COS_SQL.format(a="v.ve", b="ct.centroid")
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         q AS (SELECT vec_id, ve FROM c WHERE vec_id % 50 = 0),
+         cents AS (
+           SELECT rn - 1 AS cell_id, centroid FROM (
+             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn,
+                    ve AS centroid
+             FROM c
+           ) WHERE rn <= {n_cells}
+         ),
+         c_cells AS (
+           SELECT neighbor_id, cv, cell_id FROM (
+             SELECT v.vec_id AS neighbor_id, v.ve AS cv, ct.cell_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY {cos_vc} DESC, ct.cell_id ASC) AS rk
+             FROM c v CROSS JOIN cents ct
+           ) WHERE rk <= 1
+         ),
+         q_cells AS (
+           SELECT query_id, qv, cell_id FROM (
+             SELECT v.vec_id AS query_id, v.ve AS qv, ct.cell_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY {cos_vc} DESC, ct.cell_id ASC) AS rk
+             FROM q v CROSS JOIN cents ct
+           ) WHERE rk <= {n_probe}
+         ),
+         scored AS (
+           SELECT qc.query_id, cc.neighbor_id,
+                  ROUND({_COS_SQL.format(a="cc.cv", b="qc.qv")}, 6) AS cosine
+           FROM q_cells qc JOIN c_cells cc ON qc.cell_id = cc.cell_id
+           WHERE cc.neighbor_id <> qc.query_id
+         )
+    SELECT DISTINCT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF = _ivf_sql()
 
 
 QUERIES.update(
@@ -732,7 +784,7 @@ ORACLES.update(
         "dedup_simhash": SQL_DEDUP_SIMHASH,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "ann_topk": SQL_ANN_TOPK,
-        # ann_ivf: intentionally no oracle (approximate operator)
+        "ann_ivf": SQL_ANN_IVF,
     }
 )
 
@@ -760,16 +812,19 @@ def q_nested_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.select(
         F.col("l_orderkey").alias("orderkey"),
-        F.size("items").alias("n_items"),
+        F.size("items").cast("long").alias("n_items"),
         F.aggregate("items", F.lit(0).cast("long"), lambda acc, e: acc + e.getField("qty")).alias("sum_qty"),
     )
 
 
+# n_items/sum_qty are CAST to BIGINT on BOTH sides: Spark's F.size is int32
+# and DuckDB's SUM(BIGINT) is HUGEINT→float at the pandas boundary — without
+# the casts the driver's value hash diverges on dtype spelling alone.
 SQL_NESTED_PROJECT_FILTER = """
     SELECT l_orderkey AS orderkey,
-           COUNT(CASE WHEN l_linenumber <> 7 THEN 1 END) AS n_items,
-           COALESCE(SUM(CASE WHEN l_linenumber <> 7
-                             THEN CAST(l_quantity AS BIGINT) END), 0) AS sum_qty
+           CAST(COUNT(CASE WHEN l_linenumber <> 7 THEN 1 END) AS BIGINT) AS n_items,
+           CAST(COALESCE(SUM(CASE WHEN l_linenumber <> 7
+                             THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS sum_qty
     FROM lineitem GROUP BY l_orderkey
 """
 

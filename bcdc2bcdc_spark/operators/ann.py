@@ -52,12 +52,23 @@ def brute_force_topk(
 
 def _centroids(corpus: DataFrame, n_cells: int, vec_col: str, id_col: str) -> DataFrame:
     """Deterministic centroid pick: the n_cells corpus vectors with the
-    smallest md5(id) — a seeded random sample without randomness."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    smallest md5(id) — a seeded random sample without randomness.
+
+    Physical plan: orderBy+limit compiles to TakeOrderedAndProject — a
+    DISTRIBUTED per-partition top-n followed by a driver-side merge of
+    n_cells rows; the subsequent cell-numbering window runs over only
+    those n_cells rows (never the corpus). No global single-task sort."""
+    small = (
+        corpus.select(
+            _as_double(F.col(vec_col)).alias("centroid"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("_h")  # n_cells rows only — bounded, not a scale risk
     return (
-        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("centroid"))
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_cells)
+        small.withColumn("_r", F.row_number().over(w))
         .select((F.col("_r") - 1).alias("cell_id"), "centroid")
     )
 
