@@ -661,24 +661,49 @@ _COS_SQL = (
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-LSH candidate bucket, exact cosine ≥ 0.35."""
-    return embedding_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.35)
-
-
-SQL_EMBEDDING_NEAR_DUPS = f"""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
-             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS sig
-      FROM embeddings
+    """Embedding near-dup pairs: banded random-hyperplane LSH candidates,
+    exact cosine ≥ 0.35 (4 bands × 4 bits over 64-dim vectors)."""
+    return embedding_near_dups(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, n_bands=4, band_bits=4, dim=64
     )
-    SELECT x.vec_id AS a, y.vec_id AS b,
-           ROUND({_COS_SQL.format(a='x.ve', b='y.ve')}, 6) AS cosine
-    FROM v x JOIN v y ON x.sig = y.sig AND x.vec_id < y.vec_id
-    WHERE ROUND({_COS_SQL.format(a='x.ve', b='y.ve')}, 6) >= 0.35
+
+
+def _near_dups_sql(
+    threshold: float = 0.35, n_bands: int = 4, band_bits: int = 4, dim: int = 64
+) -> str:
+    """DuckDB mirror of embedding_near_dups: the SAME md5-derived ±1
+    hyperplane literals (driver-side constants) decide the band hashes."""
+    from bcdc2bcdc_spark.operators.dedupe import hyperplane_signs
+
+    planes = hyperplane_signs(n_bands * band_bits, dim)
+
+    def bit(j: int) -> str:
+        arr = "[" + ", ".join(str(s) for s in planes[j]) + "]"
+        return f"CASE WHEN list_dot_product(ve, {arr}) >= 0 THEN '1' ELSE '0' END"
+
+    band_rows = "\n           UNION ALL\n           ".join(
+        "SELECT vec_id, {b} AS band_id, {h} AS band_hash FROM v".format(
+            b=b, h=" || ".join(bit(b * band_bits + j) for j in range(band_bits))
+        )
+        for b in range(n_bands)
+    )
+    cos = _COS_SQL.format(a="va.ve", b="vb.ve")
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         buckets AS ({band_rows}),
+         pairs AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM buckets x JOIN buckets y
+             ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+            AND x.vec_id < y.vec_id
+         )
+    SELECT p.a, p.b, ROUND({cos}, 6) AS cosine
+    FROM pairs p JOIN v va ON va.vec_id = p.a JOIN v vb ON vb.vec_id = p.b
+    WHERE ROUND({cos}, 6) >= {threshold}
 """
+
+
+SQL_EMBEDDING_NEAR_DUPS = _near_dups_sql()
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,8 +12,9 @@ candidate generation is always a key-equality join):
 * simhash         — 16-bit bit-majority fingerprint; exact-bucket match
                     (Hamming-0) with the bit math portable to the SQL oracle.
 * embedding_cosine — near-duplicate by cosine ≥ τ over an embedding column;
-                    candidates via coarse LSH-ish bucketing on the lead
-                    dimensions, exact cosine on candidates only.
+                    candidates via banded random-hyperplane LSH (md5-derived
+                    ±1 planes, bucket count parameterized by band_bits),
+                    exact cosine on candidates only.
 
 md5-hex string ordering is used as the hash universe so every operator has
 a bit-identical ANSI-SQL oracle (DuckDB md5) — see driver_queries.py.
@@ -228,30 +229,84 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane components: the sign of plane j,
+    dimension d is taken from the first hex nibble of md5('j:d'). Pure
+    driver-side constants — both the Spark plan and the SQL oracle inline
+    the SAME literals, so candidate generation is engine-portable."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.99,
-    sign_bits: int = 4,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
-    Candidates come from a sign-LSH bucket (signs of the first
-    ``sign_bits`` dimensions): at τ→1 near-dups almost surely agree on
-    every lead sign, so the join is bucket-local, not all-pairs. Exact
-    cosine (double, sequential fold) filters candidates.
+    Candidates come from banded random-hyperplane LSH (SimHash over the
+    embedding space): bit j = sign(v · h_j) for ``n_bands × band_bits``
+    md5-derived ±1 hyperplanes; docs agreeing on ALL bits of any band are
+    candidates. P(bit agree) = 1 − θ/π, so recall at the threshold is
+    1 − (1 − p^band_bits)^n_bands and — unlike a fixed lead-dimension
+    signature — the bucket count (2^band_bits per band) is a PARAMETER:
+    at corpus scale raise band_bits so expected bucket size stays bounded
+    (E[bucket] = N / 2^band_bits under random signs; see PLANS.md).
+    The band join shuffles only (id, band_id, band_hash) — vectors are
+    joined back per candidate pair, never carried through the explode.
+    Exact cosine (double, sequential fold) filters candidates.
     """
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    planes = hyperplane_signs(n_bands * band_bits, dim)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig = F.concat_ws(
-        "", *[F.when(F.element_at(v, i + 1) >= 0, "1").otherwise("0") for i in range(sign_bits)]
+    base = df.select(F.col(id_col), v.alias("v"))
+
+    def bit(j: int) -> Column:
+        h = F.array(*[F.lit(s) for s in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), h, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(*[bit(b * band_bits + j) for j in range(band_bits)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(n_bands)
+        ]
     )
-    base = df.select(F.col(id_col), v.alias("v"), sig.alias("sig"))
-    a = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "sig")
-    b = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "sig")
+    buckets = base.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+        F.col(id_col), F.col("bd.band_id"), F.col("bd.band_hash")
+    )
+    pairs = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
     return (
-        a.join(b, "sig")
-        .filter(F.col("a") < F.col("b"))
+        pairs.join(va, "a")
+        .join(vb, "b")
         .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
