@@ -141,13 +141,17 @@ def remap_embedded_field(
     Physical shape: explode → ONE broadcast join → re-aggregate with
     ``collect_list`` grouped by a row id (the reference loops per member,
     CustomTransformers.py:194-245). Element order is preserved by sorting
-    on the captured element index."""
+    on the captured element index. Rows whose array is NULL or empty skip
+    the explode entirely and pass through unchanged — exploding them would
+    regroup into a corrupt one-element [null] array."""
     rid = "_rid"
     pos = "_pos"
     other_cols = [c for c in df.columns if c != array_col]
     with_id = df.withColumn(rid, F.monotonically_increasing_id())
-    exploded = with_id.select(
-        rid, *other_cols, F.posexplode_outer(array_col).alias(pos, "_elem")
+    has_elems = F.col(array_col).isNotNull() & (F.size(array_col) > 0)
+    passthrough = with_id.filter(~F.coalesce(has_elems, F.lit(False)))
+    exploded = with_id.filter(has_elems).select(
+        rid, *other_cols, F.posexplode(array_col).alias(pos, "_elem")
     )
     m = mapping.select(
         F.col(map_from).alias("_from"), F.col(map_to).alias("_to")
@@ -169,9 +173,13 @@ def remap_embedded_field(
             ).alias("_pe")
         )
         .withColumn(array_col, F.transform(F.col("_pe"), lambda x: x.getField("e")))
-        .drop("_pe", rid)
+        .drop("_pe")
     )
-    return regrouped.select(*df.columns)
+    return (
+        regrouped.select(rid, *df.columns)
+        .unionByName(passthrough.select(rid, *df.columns))
+        .drop(rid)
+    )
 
 
 # ---------------------------------------------------------------------------

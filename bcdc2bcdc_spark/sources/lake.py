@@ -103,20 +103,40 @@ class HashBucketParquetTable:
             .parquet(self.data_path)
         )
         os.makedirs(self.path, exist_ok=True)
+        compare = [c for c in self.compare_cols if c in df.columns]
         with open(self.meta_path, "w") as fh:
             json.dump(
                 {
                     "key_cols": list(self.key_cols),
                     "n_buckets": self.n_buckets,
-                    "compare_cols": list(self.compare_cols),
+                    "compare_cols": compare,
+                    # what the PERSISTED `_digest` column covers; upserts may
+                    # only trust stored digests while this equals compare_cols
+                    "digest_cols": compare,
                     "schema": df.schema.jsonValue(),
                 },
                 fh,
             )
 
-    def data_schema(self) -> T.StructType:
+    def _meta(self) -> dict:
         with open(self.meta_path) as fh:
-            return T.StructType.fromJson(json.load(fh)["schema"])
+            return json.load(fh)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self.meta_path)
+
+    def resolved_compare_cols(self) -> list[str]:
+        """The table's authoritative compare set (persisted at init,
+        extended by schema evolution). Callers — including CDCPipeline —
+        should pass compare_cols=None to upsert() and let it resolve here,
+        so change digests always cover the same columns as the table."""
+        return list(self._meta().get("compare_cols", self.compare_cols))
+
+    def data_schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._meta()["schema"])
 
     def _schema(self) -> T.StructType:
         return T.StructType(
@@ -140,13 +160,21 @@ class HashBucketParquetTable:
         if evolved.jsonValue() == current.jsonValue():
             return False
         self._check_writable()
-        with open(self.meta_path) as fh:
-            meta = json.load(fh)
+        meta = self._meta()
         meta["schema"] = evolved.jsonValue()
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, self.meta_path)
+        # Evolved payload columns JOIN the compare set (they are user data,
+        # like the reference's user_populated fields): an UPDATE that changes
+        # only an evolved column must not be suppressed as a no-op. Keys,
+        # the version column and event-control columns stay excluded.
+        # digest_cols is NOT advanced — stored digests don't cover the new
+        # columns, so upserts recompute base digests until redigest() runs.
+        non_compare = {*self.key_cols, "commit", *self._CONTROL_COLS}
+        have = set(meta.get("compare_cols", []))
+        new_names = {f.name for f in evolved.fields} - {f.name for f in current.fields}
+        for f in evolved.fields:
+            if f.name in new_names and f.name not in non_compare and f.name not in have:
+                meta.setdefault("compare_cols", list(self.compare_cols)).append(f.name)
+        self._write_meta(meta)
         return True
 
     def _read_raw(self) -> DataFrame:
@@ -166,7 +194,7 @@ class HashBucketParquetTable:
     def upsert(
         self,
         changes: DataFrame,
-        compare_cols: Sequence[str] = COMPARE_COLS,
+        compare_cols: Sequence[str] | None = None,
         digest_impl: str = "jvm",
         touched: Sequence[int] | None = None,
     ) -> None:
@@ -174,9 +202,28 @@ class HashBucketParquetTable:
 
         Only bucket partitions containing changed keys are read and
         rewritten; the rest of the table is untouched (dynamic partition
-        overwrite). Deterministic input ⇒ deterministic bucket contents, so
-        a crashed-then-replayed upsert rewrites identical files — replay
-        safety does not depend on the file commit being atomic.
+        overwrite).
+
+        ``compare_cols=None`` (the default — what CDCPipeline passes)
+        resolves the compare set from the table's persisted metadata, so
+        change digests always cover the same columns as the stored
+        ``_digest``. An EXPLICIT compare set that differs from the persisted
+        one is rejected: computing change digests over a different column
+        set than the base digests silently breaks no-op suppression (a real
+        update could compare equal). After schema evolution the compare set
+        includes the evolved columns while stored digests do not
+        (``digest_cols`` lags); upserts then recompute base digests for
+        touched buckets until ``redigest()`` re-baselines the table.
+
+        Crash safety: replaying this upsert is idempotent — deterministic
+        input ⇒ identical bucket contents — which heals a crash BEFORE or
+        AFTER the file commit. The commit itself (dynamic partition
+        overwrite: delete touched partition dirs, move staged files in) is
+        NOT atomic: a crash inside that window can leave a bucket missing
+        its unchanged base rows, which no replay of the change set can
+        restore. The parquet backend is therefore resume-safe but not
+        mid-commit-crash-safe; Iceberg (atomic snapshot commit) is the
+        durable production path.
 
         ``touched`` may pass a precomputed (superset of the) touched-bucket
         id set, saving this method its own discovery job — the change-set
@@ -184,6 +231,18 @@ class HashBucketParquetTable:
         """
         self._check_writable()
         changes = self._evolve_and_reconcile(changes)
+        meta = self._meta()
+        persisted = list(meta.get("compare_cols", self.compare_cols))
+        if compare_cols is None:
+            compare_cols = persisted
+        elif list(compare_cols) != persisted:
+            raise ValueError(
+                f"compare_cols {list(compare_cols)} differs from the table's "
+                f"persisted compare set {persisted}; pass compare_cols=None "
+                "to use the persisted set (mixing sets breaks no-op "
+                "suppression against the stored _digest)"
+            )
+        digests_current = meta.get("digest_cols", persisted) == list(compare_cols)
         changes_b = changes.withColumn(
             "_bucket", _bucket_expr(self.key_cols, self.n_buckets)
         )
@@ -200,6 +259,13 @@ class HashBucketParquetTable:
             .filter(F.col("_bucket").isin(touched))  # partition pruning
             .drop("_bucket")
         )
+        if not digests_current:
+            # stored digests predate a compare-set change (schema evolution):
+            # recompute over the touched rows — correct, costs one digest
+            # pass per touched bucket until redigest() re-baselines
+            base = with_row_digest(
+                base.drop("_digest"), list(compare_cols), "_digest", impl=digest_impl
+            )
         # digest the (small) change set once; the base side reads its
         # persisted digest — no recompute over touched rows
         changes_d = with_row_digest(
@@ -258,6 +324,30 @@ class HashBucketParquetTable:
             + [f for f in changes.schema.fields if f.name in self._CONTROL_COLS]
         )
         return reconcile_to_schema(changes, full)
+
+    def redigest(self, digest_impl: str = "jvm") -> None:
+        """Maintenance: recompute the persisted ``_digest`` of EVERY bucket
+        over the table's current compare set and advance ``digest_cols``.
+        Run after schema evolution to restore the zero-digest-work fast
+        path (until then upserts recompute base digests per touched
+        bucket). The 100 TB analog is an Iceberg rewrite_data_files-style
+        action — full table rewrite, schedule accordingly."""
+        self._check_writable()
+        meta = self._meta()
+        compare = list(meta.get("compare_cols", self.compare_cols))
+        if meta.get("digest_cols") == compare:
+            return
+        rewritten = with_row_digest(
+            self._read_raw().drop("_digest"), compare, "_digest", impl=digest_impl
+        )
+        (
+            rewritten.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(self.data_path)
+        )
+        meta["digest_cols"] = compare
+        self._write_meta(meta)
 
     def compact(self, max_files_per_bucket: int = 4) -> list[int]:
         """Small-file maintenance: rewrite every bucket whose partition dir

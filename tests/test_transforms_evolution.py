@@ -231,3 +231,58 @@ def test_lake_auto_evolves_on_upsert(spark, tmp_path):
     bad = ev.withColumn("size", F.lit("not-a-long"))
     with _pytest.raises(SchemaEvolutionError):
         table.upsert(lww_dedup(bad))
+
+
+def test_compare_set_lockstep_and_redigest(spark, tmp_path):
+    """ADVICE regression: (a) an explicit compare set differing from the
+    table's persisted one is rejected; (b) an evolved payload column JOINS
+    the compare set, so an update changing ONLY that column is applied —
+    not silently suppressed as a no-op against stale digests; (c)
+    redigest() re-baselines the stored digests to the new compare set."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bcdc2bcdc_spark.functions.canonicalize import canonicalize_snapshot
+    from bcdc2bcdc_spark.generator import gen_repos
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=40, seed=5))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.init(base)
+    key = base.select("repo", "path", "lang", "content").first()
+
+    # (a) foreign explicit compare set → rejected
+    ch = spark.createDataFrame(
+        [(key["repo"], key["path"], "zz", key["lang"], key["content"], "UPDATE", 1)],
+        "repo string, path string, commit string, lang string, content string, op string, event_seq long",
+    )
+    with _pytest.raises(ValueError, match="persisted compare set"):
+        table.upsert(ch, compare_cols=("content",))
+
+    # (b) evolve with a `size` column, then update ONLY size for one key
+    ev1 = ch.withColumn("size", F.lit(111).cast("long"))
+    table.upsert(ev1)
+    assert table.resolved_compare_cols() == ["lang", "content", "size"]
+    assert table.read().filter(
+        (F.col("repo") == key["repo"]) & (F.col("path") == key["path"])
+    ).first()["size"] == 111
+
+    ev2 = ev1.withColumn("size", F.lit(222).cast("long")).withColumn(
+        "event_seq", F.lit(2).cast("long")
+    ).withColumn("commit", F.lit("z2"))
+    table.upsert(ev2)
+    row = table.read().filter(
+        (F.col("repo") == key["repo"]) & (F.col("path") == key["path"])
+    ).first()
+    assert row["size"] == 222, "size-only update was suppressed as a no-op"
+
+    # (c) redigest restores the fast path and preserves content
+    before = sorted(map(tuple, table.read().collect()))
+    table.redigest()
+    assert table._meta()["digest_cols"] == ["lang", "content", "size"]
+    assert sorted(map(tuple, table.read().collect())) == before
+    # an identical replay after redigest is still a no-op (digests trusted)
+    table.upsert(ev2)
+    assert table.read().filter(
+        (F.col("repo") == key["repo"]) & (F.col("path") == key["path"])
+    ).first()["size"] == 222
