@@ -1047,3 +1047,478 @@ SQL_DIFF_REPORT_FIELDS = f"""
 
 QUERIES["diff_report_fields"] = q_diff_report_fields
 ORACLES["diff_report_fields"] = SQL_DIFF_REPORT_FIELDS
+
+
+# ---------------------------------------------------------------------------
+# round-2 coverage: hard-signal oracles for previously pytest-only operators
+# (VERDICT r01 "What's missing" #1) — J5, D2, D3, T2, T7, T9, T10, T14, T15,
+# T16, P5, A3, §2.9 salting, runtime-ignore composition.
+# ---------------------------------------------------------------------------
+
+def q_cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 explicit skew salting: the two-phase salted LWW strategy must
+    produce the identical winner set as the plain formulation — proven
+    against the same SQL oracle as cdc_lww_dedup."""
+    return lww_dedup(
+        cdc_events(spark, sf_dir), order_cols=LWW_ORDER, strategy="salted", n_salts=8
+    )
+
+
+def q_cdc_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 LWW window strategy (row_number formulation) — same oracle."""
+    return lww_dedup(cdc_events(spark, sf_dir), order_cols=LWW_ORDER, strategy="window")
+
+
+def q_altkey_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 alternate-key delta (reference users matched on email,
+    CKANData.py:1650-1759): snapshot_diff keyed on the alternate natural
+    key c_name instead of the surrogate c_custkey, over two derived
+    customer snapshots (src drops custkey%11, perturbs segment on %5;
+    dest drops custkey%13)."""
+    from bcdc2bcdc_spark.operators.diff import snapshot_diff
+
+    c = load(spark, sf_dir, "customer")
+    src = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_name").alias("name"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.concat(F.lit("S-"), F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    dest = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_name").alias("name"), F.col("c_mktsegment").alias("segment")
+    )
+    return snapshot_diff(
+        src, dest, key_cols=("name",), compare_cols=("segment",), canonicalize=False
+    )
+
+
+SQL_ALTKEY_DELTA = """
+    WITH src AS (
+      SELECT c_name AS name,
+             CASE WHEN c_custkey % 5 = 0 THEN 'S-' || c_mktsegment
+                  ELSE c_mktsegment END AS segment
+      FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    dest AS (
+      SELECT c_name AS name, c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 13 <> 0
+    ),
+    j AS (
+      SELECT s.name AS sname, d.name AS dname, s.segment AS sseg, d.segment AS dseg,
+             CASE WHEN d.name IS NULL THEN 'ADD'
+                  WHEN s.name IS NULL THEN 'DELETE'
+                  WHEN s.segment IS DISTINCT FROM d.segment THEN 'UPDATE' END AS op
+      FROM src s FULL OUTER JOIN dest d ON s.name = d.name
+    )
+    SELECT COALESCE(sname, dname) AS name,
+           CASE WHEN op = 'DELETE' THEN NULL ELSE sseg END AS segment, op
+    FROM j WHERE op IS NOT NULL
+"""
+
+
+def q_diff_apply_converges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 dataset equality / replay convergence as a hard-signal query:
+    dest + apply(diff(src, dest)) must equal src on the compare payload
+    (reference dataset __eq__, CKANData.py:1504-1541). The oracle is the
+    src state computed independently — any divergence in diff OR apply
+    breaks the hash. commit_id is excluded: no-op updates legitimately
+    leave dest's version in place (reference: empty diff ⇒ no update)."""
+    from bcdc2bcdc_spark.operators.apply import apply_changes
+    from bcdc2bcdc_spark.operators.diff import snapshot_diff
+
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq(ev)
+    src = cdc_state(ev, None)
+    dest = cdc_state(ev, half)
+    delta = snapshot_diff(src, dest, canonicalize=False, digest_impl="jvm")
+    converged = apply_changes(dest, delta, digest_impl="jvm")
+    return converged.select("repo", "path", "lang", "content")
+
+
+SQL_DIFF_APPLY_CONVERGES = f"""
+    SELECT repo, path, lang, content
+    FROM ({SNAP_SQL.format(ev=EV_SQL, where="")})
+"""
+
+
+def q_section_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 two-level diff (struct-of-digests): per order, a digest over the
+    scalar payload and an ORDER-INSENSITIVE digest over the nested items
+    array (reference diffs resources separately from the package,
+    CKANData.py:599-703)."""
+    from bcdc2bcdc_spark.operators.nested import with_section_digests
+
+    li = load(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.collect_list(F.struct("l_linenumber", "l_partkey")).alias("items"),
+            F.count(F.lit(1)).cast("string").alias("n_str"),
+        )
+        .withColumn("ok_str", F.col("l_orderkey").cast("string"))
+    )
+    out = with_section_digests(nested, ["ok_str", "n_str"], "items")
+    return out.select(
+        F.col("l_orderkey").alias("orderkey"), "digest_top", "digest_items"
+    )
+
+
+SQL_SECTION_DIGESTS = """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list(CAST(to_json(struct_pack(l_linenumber := l_linenumber,
+                                           l_partkey := l_partkey)) AS VARCHAR))
+               AS items_json,
+             CAST(COUNT(*) AS VARCHAR) AS n_str,
+             CAST(l_orderkey AS VARCHAR) AS ok_str
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey AS orderkey,
+           sha256(sha256('v:' || ok_str) || chr(31) || sha256('v:' || n_str))
+             AS digest_top,
+           sha256(array_to_string(list_sort(items_json), chr(31))) AS digest_items
+    FROM nested
+"""
+
+
+def q_reconcile_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 type enforcement / schema evolution plan-side: reconcile a frame
+    onto a wider target schema — int32 widens to long, a declared-but-
+    missing column materializes as a typed NULL (reference enforceTypes,
+    CKANData.py:966-1022; engine evolution.reconcile_to_schema)."""
+    from pyspark.sql import types as T
+
+    from bcdc2bcdc_spark.evolution import reconcile_to_schema
+
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    target = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.LongType()),   # int32 → long widening
+            T.StructField("l_quantity", T.DoubleType()),   # identity
+            T.StructField("l_note", T.StringType()),       # missing → typed NULL
+        ]
+    )
+    return reconcile_to_schema(src, target)
+
+
+SQL_RECONCILE_TYPES = """
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_quantity,
+           CAST(NULL AS VARCHAR) AS l_note
+    FROM lineitem
+"""
+
+
+def q_force_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: pin a field to a constant on both sides before compare
+    (reference fixPackageType)."""
+    from bcdc2bcdc_spark.transforms.builtin import force_constant
+
+    d = load(spark, sf_dir, "documents").select("doc_id", F.col("source").alias("dtype"))
+    return force_constant("dtype", "bcdc_dataset")(d)
+
+
+SQL_FORCE_CONSTANT = """
+    SELECT doc_id, 'bcdc_dataset' AS dtype FROM documents
+"""
+
+
+def q_bool_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 bool-string canonicalization over a derived dirty column
+    (reference fixOFI)."""
+    from bcdc2bcdc_spark.transforms.builtin import canonical_bool_string
+
+    ev = load(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("user_id") % 5 == 0, "TRUE")
+        .when(F.col("user_id") % 5 == 1, "False")
+        .when(F.col("user_id") % 5 == 2, "yes")
+        .when(F.col("user_id") % 5 == 3, "0")
+        .otherwise("maybe")
+    )
+    out = canonical_bool_string("flag")(ev.select(raw.alias("flag")))
+    return out.groupBy("flag").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_BOOL_CANON = """
+    SELECT CASE WHEN user_id % 5 IN (0, 2) THEN 'true'
+                WHEN user_id % 5 IN (1, 3) THEN 'false'
+                ELSE 'maybe' END AS flag,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 URL host rewrite: src-host URLs move to the dest host, NULL
+    gets the configured default, foreign hosts pass through
+    (reference adjustURLDomain)."""
+    from bcdc2bcdc_spark.transforms.builtin import rewrite_host
+
+    d = load(spark, sf_dir, "documents")
+    url = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 3 == 0, F.concat(F.lit("http://src.example.com/doc/"), F.col("doc_id")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("https://src.example.com/doc/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://other.org/doc/"), F.col("doc_id")))
+    )
+    out = rewrite_host(
+        "url", "src.example.com", "dest.example.com",
+        default="https://dest.example.com/missing",
+    )(d.select("doc_id", url.alias("url")))
+    return out
+
+
+SQL_URL_REWRITE = r"""
+    SELECT doc_id,
+           CASE WHEN url IS NULL THEN 'https://dest.example.com/missing'
+                ELSE regexp_replace(url, '^(https?://)src.example.com',
+                                    '\1dest.example.com') END AS url
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  WHEN doc_id % 3 = 0 THEN 'http://src.example.com/doc/' || doc_id
+                  WHEN doc_id % 3 = 1 THEN 'https://src.example.com/doc/' || doc_id
+                  ELSE 'https://other.org/doc/' || doc_id END AS url
+      FROM documents
+    )
+"""
+
+
+def q_cond_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 conditional default: inject a constant only when a sibling
+    column matches and the target is NULL (reference fixResourceStatus
+    retention_expiry_date)."""
+    from bcdc2bcdc_spark.transforms.builtin import conditional_default
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "historicalArchive").otherwise("active").alias("status"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string")).otherwise("2030-01-01").alias("expiry"),
+    )
+    return conditional_default("expiry", "2222-02-02", "status", "historicalArchive")(d)
+
+
+SQL_COND_DEFAULT = """
+    SELECT doc_id, status,
+           CASE WHEN status = 'historicalArchive' AND expiry IS NULL
+                THEN '2222-02-02' ELSE expiry END AS expiry
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'historicalArchive' ELSE 'active' END AS status,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE '2030-01-01' END AS expiry
+      FROM documents
+    )
+"""
+
+
+_WM_DOMAIN = ("Open Government Licence", "Public Domain", "Restricted Access")
+
+
+def q_word_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 fuzzy word-match against a scheming domain: substitute the first
+    domain value sharing a lowercased word; NULL / no match → default
+    (reference __fixDataSetPropertyUsingDomainWordMatch)."""
+    from bcdc2bcdc_spark.transforms.builtin import word_match_domain
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 1, "public stuff")
+        .when(F.col("doc_id") % 5 == 2, "open data government")
+        .when(F.col("doc_id") % 5 == 3, "totally restricted access")
+        .otherwise("nothing relevant")
+        .alias("licence"),
+    )
+    return word_match_domain("licence", _WM_DOMAIN, "Unknown")(d)
+
+
+def _word_domain_sql() -> str:
+    """Mirror of word_match_domain for the derived licence column: earlier
+    domain entries win; the word test is list-containment over lowercased
+    whitespace tokens."""
+    branches = "\n                ".join(
+        "WHEN {cond} THEN '{val}'".format(
+            val=d,
+            cond=" OR ".join(
+                f"list_contains(regexp_split_to_array(lower(licence), '\\s+'), '{w}')"
+                for w in d.lower().split()
+            ),
+        )
+        for d in _WM_DOMAIN
+    )
+    return f"""
+    SELECT doc_id,
+           CASE WHEN licence IS NULL THEN 'Unknown'
+                {branches}
+                ELSE 'Unknown' END AS licence
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL
+                  WHEN doc_id % 5 = 1 THEN 'public stuff'
+                  WHEN doc_id % 5 = 2 THEN 'open data government'
+                  WHEN doc_id % 5 = 3 THEN 'totally restricted access'
+                  ELSE 'nothing relevant' END AS licence
+      FROM documents
+    )
+"""
+
+
+SQL_WORD_DOMAIN = _word_domain_sql()
+
+
+def q_canonical_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 canonical JSON (Arrow pandas UDF): parse → sorted keys, compact
+    separators → re-serialize; unparseable → '[]' (reference fixMoreInfo).
+    The oracle CONSTRUCTS the expected canonical string directly, so the
+    UDF's exact formatting is what's being checked."""
+    from bcdc2bcdc_spark.transforms.builtin import canonical_json
+
+    ev = load(spark, sf_dir, "events")
+    raw = F.when(F.col("user_id") % 50 == 0, F.lit("not json")).otherwise(
+        F.concat(
+            F.lit('{"z": '), F.col("user_id"),
+            F.lit(', "a": "'), F.col("event_type"), F.lit('"}'),
+        )
+    )
+    out = canonical_json("doc")(ev.select(raw.alias("doc")))
+    return out.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_CANONICAL_JSON = """
+    SELECT CASE WHEN user_id % 50 = 0 THEN '[]'
+                ELSE '{"a":"' || event_type || '","z":' || user_id || '}'
+           END AS doc,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+"""
+
+
+def q_null_key_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 null-key skip: events whose business key canonicalizes to NULL
+    ('', 'None', ...) are unmergeable and dropped before apply — the
+    engine's dead-letter predicate (pipeline._malformed_pred) over a
+    derived dirty key column."""
+    from bcdc2bcdc_spark.functions.canonicalize import canonical_nullish
+
+    li = load(spark, sf_dir, "lineitem")
+    path_raw = (
+        F.when(li.l_partkey % 31 == 0, "None")
+        .when(li.l_partkey % 37 == 0, "")
+        .otherwise(F.concat(F.lit("p"), (li.l_partkey % 1500).cast("string")))
+    )
+    ev = li.select(
+        F.concat(F.lit("r"), (li.l_suppkey % 20).cast("string")).alias("repo"),
+        path_raw.alias("path"),
+    )
+    kept = ev.filter(canonical_nullish("path").isNotNull())
+    return kept.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_NULL_KEY_SKIP = """
+    SELECT repo, COUNT(*) AS n FROM (
+      SELECT 'r' || CAST(l_suppkey % 20 AS VARCHAR) AS repo,
+             CASE WHEN l_partkey % 31 = 0 THEN 'None'
+                  WHEN l_partkey % 37 = 0 THEN ''
+                  ELSE 'p' || CAST(l_partkey % 1500 AS VARCHAR) END AS path
+      FROM lineitem
+    ) WHERE path NOT IN ('', 'None', 'null', 'NULL', 'N/A')
+    GROUP BY repo
+"""
+
+
+def q_epoch_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 lineage metrics: per (epoch, op) event counts + payload bytes —
+    the fetch-completeness reconciliation sums (reference CKAN.py:1239-1266)
+    as a groupBy over the event view with a derived epoch."""
+    ev = cdc_events(spark, sf_dir)
+    return (
+        ev.withColumn("epoch", F.pmod(F.col("event_seq"), F.lit(4)))
+        .groupBy("epoch", "op")
+        .agg(
+            F.count(F.lit(1)).alias("events_applied"),
+            F.sum(F.length("content")).alias("bytes"),
+        )
+    )
+
+
+SQL_EPOCH_LINEAGE = f"""
+    SELECT event_seq % 4 AS epoch, op,
+           COUNT(*) AS events_applied,
+           SUM(length(content)) AS bytes
+    FROM ({EV_SQL}) GROUP BY 1, 2
+"""
+
+
+def q_runtime_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-ignore accumulation (reference CachedIgnores,
+    DataCache.py:559-586): duplicate-alternate-key DETECTION feeds the
+    apply-time anti-filter in the same run — keys flagged ≥80 occurrences
+    are excluded from the applied set."""
+    ev = load(spark, sf_dir, "events")
+    flagged = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 80)
+        .select("user_id")
+    )
+    return (
+        ev.join(flagged, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_RUNTIME_IGNORE = """
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE user_id NOT IN (
+      SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 80
+    )
+    GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "cdc_lww_window": q_cdc_lww_window,
+        "altkey_delta": q_altkey_delta,
+        "diff_apply_converges": q_diff_apply_converges,
+        "section_digests": q_section_digests,
+        "reconcile_types": q_reconcile_types,
+        "force_constant": q_force_constant,
+        "bool_canon": q_bool_canon,
+        "url_rewrite": q_url_rewrite,
+        "cond_default": q_cond_default,
+        "word_domain": q_word_domain,
+        "canonical_json": q_canonical_json,
+        "null_key_skip": q_null_key_skip,
+        "epoch_lineage": q_epoch_lineage,
+        "runtime_ignore": q_runtime_ignore,
+    }
+)
+ORACLES.update(
+    {
+        "cdc_lww_salted": SQL_CDC_LWW_DEDUP,
+        "cdc_lww_window": SQL_CDC_LWW_DEDUP,
+        "altkey_delta": SQL_ALTKEY_DELTA,
+        "diff_apply_converges": SQL_DIFF_APPLY_CONVERGES,
+        "section_digests": SQL_SECTION_DIGESTS,
+        "reconcile_types": SQL_RECONCILE_TYPES,
+        "force_constant": SQL_FORCE_CONSTANT,
+        "bool_canon": SQL_BOOL_CANON,
+        "url_rewrite": SQL_URL_REWRITE,
+        "cond_default": SQL_COND_DEFAULT,
+        "word_domain": SQL_WORD_DOMAIN,
+        "canonical_json": SQL_CANONICAL_JSON,
+        "null_key_skip": SQL_NULL_KEY_SKIP,
+        "epoch_lineage": SQL_EPOCH_LINEAGE,
+        "runtime_ignore": SQL_RUNTIME_IGNORE,
+    }
+)
