@@ -1522,3 +1522,39 @@ ORACLES.update(
         "runtime_ignore": SQL_RUNTIME_IGNORE,
     }
 )
+
+
+def q_multi_entity_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-entity FK integrity (reference dependency-ordered apply,
+    bin/runBCDC2BCDC.py:286-289): after building the child state (LWW over
+    the event view), every child row's FK must resolve through the parent
+    dimension — the post-apply invariant of plans/multi.MultiTablePipeline.
+    Output: one row per parent with its child-key count, plus a
+    '__dangling__' row counting unresolved FKs (expected absent)."""
+    state = cdc_state(cdc_events(spark, sf_dir))
+    fk = F.regexp_extract("repo", r"r(\d+)", 1).cast("long") % 25
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("_nk"), "n_name"
+    )
+    joined = state.withColumn("_fk", fk).join(
+        F.broadcast(n), F.col("_fk") == F.col("_nk"), "left"
+    )
+    return (
+        joined.select(F.coalesce("n_name", F.lit("__dangling__")).alias("parent"))
+        .groupBy("parent")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+    )
+
+
+SQL_MULTI_ENTITY_INTEGRITY = f"""
+    WITH state AS ({SNAP_SQL.format(ev=EV_SQL, where="")})
+    SELECT COALESCE(n.n_name, '__dangling__') AS parent,
+           COUNT(*) AS n_children
+    FROM state s
+    LEFT JOIN nation n
+      ON CAST(regexp_extract(s.repo, 'r(\\d+)', 1) AS BIGINT) % 25 = n.n_nationkey
+    GROUP BY 1
+"""
+
+QUERIES["multi_entity_integrity"] = q_multi_entity_integrity
+ORACLES["multi_entity_integrity"] = SQL_MULTI_ENTITY_INTEGRITY

@@ -57,6 +57,14 @@ class CDCPipeline:
     #: canonicalization — unmergeable) are written here per epoch instead
     #: of poisoning the lake; None keeps only the drop (always applied).
     quarantine_dir: str | None = None
+    #: RUNTIME ignore discovery (reference CachedIgnores,
+    #: /root/reference/bcdc2bcdc/DataCache.py:559-586 + duplicate-email
+    #: detection CKANData.py:1582-1637): a callable given the canonicalized
+    #: batch that returns a small frame of key columns to EXCLUDE from this
+    #: epoch's apply. Flagged events still count in lineage (they were
+    #: seen); they just never reach the table — exactly the reference's
+    #: "detected duplicates are ignored, not resolved" semantics.
+    runtime_ignore_detector: Callable[[DataFrame], DataFrame] | None = None
 
     def _malformed_pred(self):
         # keys are never rewritten, but a null-ish key ('' / 'None' / NULL)
@@ -79,6 +87,14 @@ class CDCPipeline:
             # static ignore registry → broadcast-able NOT-isin filter
             # (reference P3/P4: CKANTransform.py:232-251, CKANUpdate.py:85-117)
             batch = batch.filter(~F.col("repo").isin(*self.ignore_repos))
+        if self.runtime_ignore_detector is not None:
+            # runtime-discovered ignores: detect on THIS batch, anti-join out.
+            # The flagged set is small by construction (it is an ignore
+            # list), so the anti-join broadcasts.
+            flagged = self.runtime_ignore_detector(batch)
+            batch = batch.join(
+                F.broadcast(flagged), on=list(flagged.columns), how="left_anti"
+            )
         for t in self.transforms:
             batch = t(batch)
         return lww_dedup(
@@ -145,6 +161,16 @@ class CDCPipeline:
         )
         return True
 
+    def runtime_ignores_for(self, events: DataFrame) -> DataFrame | None:
+        """The keys the configured detector would exclude for this batch —
+        the queryable form of the reference's CachedIgnores accumulation
+        (inspection/audit surface; prepare_batch applies the same set)."""
+        if self.runtime_ignore_detector is None:
+            return None
+        from bcdc2bcdc_spark.functions.canonicalize import canonicalize_events
+
+        return self.runtime_ignore_detector(canonicalize_events(events))
+
     def run(self, events: DataFrame, epoch_col: str = "epoch") -> dict[int, bool]:
         """Apply every epoch present in ``events`` in ascending order,
         skipping committed ones (resume-after-kill entrypoint)."""
@@ -160,3 +186,32 @@ class CDCPipeline:
         finally:
             self.checkpoints.release_writer_lock()
         return results
+
+
+def duplicate_altkey_detector(
+    alt_cols: Sequence[str],
+    key_cols: Sequence[str] = KEY_COLS,
+    min_count: int = 2,
+) -> Callable[[DataFrame], DataFrame]:
+    """Runtime-ignore detector mirroring the reference's duplicate-email
+    rule (/root/reference/bcdc2bcdc/CKANData.py:1582-1637): an alternate-key
+    value carried by ≥ ``min_count`` DISTINCT business keys flags every one
+    of those keys. Returns a key-column frame for prepare_batch's
+    anti-join. Two hash aggregates + one broadcast join — no window, no
+    per-row Python."""
+
+    def detect(batch: DataFrame) -> DataFrame:
+        pairs = batch.select(*alt_cols, *key_cols).distinct()
+        dup_vals = (
+            pairs.groupBy(*alt_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_count)
+            .select(*alt_cols)
+        )
+        return (
+            pairs.join(F.broadcast(dup_vals), list(alt_cols))
+            .select(*key_cols)
+            .distinct()
+        )
+
+    return detect
