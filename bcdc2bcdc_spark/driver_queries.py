@@ -99,6 +99,18 @@ def _half_seq(ev: DataFrame) -> int:
     return int(mx) // 2
 
 
+#: the half boundary is a PURE function of sf_dir (testdata is immutable) —
+#: memoize it so the delta/update/report queries don't each pay a separate
+#: driver-side max() aggregate job per invocation.
+_HALF_CACHE: dict[str, int] = {}
+
+
+def _half_seq_dir(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _HALF_CACHE:
+        _HALF_CACHE[sf_dir] = _half_seq(cdc_events(spark, sf_dir))
+    return _HALF_CACHE[sf_dir]
+
+
 def _digest(col):
     """sha256 over a 'v:'-tagged value — same tagging as the oracle SQL."""
     return F.sha2(F.concat(F.lit("v:"), col, F.lit("\x1f"), F.lit("v:")), 256)
@@ -138,7 +150,7 @@ def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4+D1 flagship: full-outer diff of src (full-log state) vs dest
     (half-log state), classified ADD/UPDATE/DELETE by digest inequality."""
     ev = cdc_events(spark, sf_dir)
-    half = _half_seq(ev)
+    half = _half_seq_dir(spark, sf_dir)
     src = cdc_state(ev, None).alias("s")
     dest = cdc_state(ev, half).select(
         "repo", "path", _digest(F.concat_ws("\x1f", "lang", "content")).alias("_dd")
@@ -217,7 +229,7 @@ SQL_CDC_DELETE_ANTI = """
 def q_cdc_update_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3+D1 UPDATE set: keys in BOTH states whose content digest differs."""
     ev = cdc_events(spark, sf_dir)
-    half = _half_seq(ev)
+    half = _half_seq_dir(spark, sf_dir)
     src = cdc_state(ev, None).select("repo", "path", _digest(F.col("content")).alias("sd"))
     dest = cdc_state(ev, half).select("repo", "path", _digest(F.col("content")).alias("dd"))
     return (
@@ -1028,7 +1040,7 @@ def q_diff_report_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bcdc2bcdc_spark.operators.diff import diff_report
 
     ev = cdc_events(spark, sf_dir)
-    half = _half_seq(ev)
+    half = _half_seq_dir(spark, sf_dir)
     src = cdc_state(ev, None)
     dest = cdc_state(ev, half)
     rep = diff_report(src, dest, compare_cols=("lang", "content"))
@@ -1129,7 +1141,7 @@ def q_diff_apply_converges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bcdc2bcdc_spark.operators.diff import snapshot_diff
 
     ev = cdc_events(spark, sf_dir)
-    half = _half_seq(ev)
+    half = _half_seq_dir(spark, sf_dir)
     src = cdc_state(ev, None)
     dest = cdc_state(ev, half)
     delta = snapshot_diff(src, dest, canonicalize=False, digest_impl="jvm")

@@ -1,0 +1,43 @@
+"""Filesystem abstraction for the lake backend's driver-side bookkeeping.
+
+HashBucketParquetTable needs five tiny metadata operations outside Spark:
+list a partition dir, remove one, existence checks, and read/atomic-write
+of the table metadata JSON. Routing them through this interface keeps the
+backend free of direct POSIX calls, so an object-store deployment (S3/GCS)
+only implements these five methods (list → prefix listing, remove → batch
+delete, atomic write → put-then-rename or conditional put) — the Spark
+read/write paths already go through Hadoop FileSystem and need nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+class LocalFS:
+    """POSIX implementation — the sandbox / single-node default."""
+
+    def list_files(self, dir_path: str, suffix: str = "") -> set[str]:
+        if not os.path.isdir(dir_path):
+            return set()
+        return {f for f in os.listdir(dir_path) if f.endswith(suffix)}
+
+    def remove_dir(self, dir_path: str) -> None:
+        if os.path.isdir(dir_path):
+            shutil.rmtree(dir_path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_json(self, path: str) -> dict:
+        with open(path) as fh:
+            return json.load(fh)
+
+    def write_json_atomic(self, path: str, payload: dict) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, path)

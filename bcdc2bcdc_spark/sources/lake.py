@@ -24,11 +24,9 @@ Write-guard: like the reference's ``CKAN_DO_NOT_WRITE_URL`` check
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 from collections.abc import Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -36,6 +34,7 @@ from bcdc2bcdc_spark.functions.digest import with_row_digest
 from bcdc2bcdc_spark.operators.apply import apply_changes
 from bcdc2bcdc_spark.operators.diff import COMPARE_COLS
 from bcdc2bcdc_spark.schema import KEY_COLS, OP_DELETE
+from bcdc2bcdc_spark.sources.fs import LocalFS
 
 
 class ProtectedTableError(RuntimeError):
@@ -69,6 +68,9 @@ class HashBucketParquetTable:
     #: column so merges compare stored digests instead of recomputing over
     #: every touched row each epoch (zero digest work on the base side).
     compare_cols: tuple[str, ...] = COMPARE_COLS
+    #: driver-side metadata FS (sources/fs.py): swap for an object-store
+    #: implementation off-POSIX; Spark data reads/writes are unaffected.
+    fs: object = field(default_factory=LocalFS)
 
     @property
     def data_path(self) -> str:
@@ -79,7 +81,7 @@ class HashBucketParquetTable:
         return os.path.join(self.path, "_table.json")
 
     def exists(self) -> bool:
-        return os.path.exists(self.meta_path)
+        return self.fs.exists(self.meta_path)
 
     def _check_writable(self) -> None:
         if self.protected:
@@ -102,31 +104,25 @@ class HashBucketParquetTable:
             .partitionBy("_bucket")
             .parquet(self.data_path)
         )
-        os.makedirs(self.path, exist_ok=True)
         compare = [c for c in self.compare_cols if c in df.columns]
-        with open(self.meta_path, "w") as fh:
-            json.dump(
-                {
-                    "key_cols": list(self.key_cols),
-                    "n_buckets": self.n_buckets,
-                    "compare_cols": compare,
-                    # what the PERSISTED `_digest` column covers; upserts may
-                    # only trust stored digests while this equals compare_cols
-                    "digest_cols": compare,
-                    "schema": df.schema.jsonValue(),
-                },
-                fh,
-            )
+        self.fs.write_json_atomic(
+            self.meta_path,
+            {
+                "key_cols": list(self.key_cols),
+                "n_buckets": self.n_buckets,
+                "compare_cols": compare,
+                # what the PERSISTED `_digest` column covers; upserts may
+                # only trust stored digests while this equals compare_cols
+                "digest_cols": compare,
+                "schema": df.schema.jsonValue(),
+            },
+        )
 
     def _meta(self) -> dict:
-        with open(self.meta_path) as fh:
-            return json.load(fh)
+        return self.fs.read_json(self.meta_path)
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, self.meta_path)
+        self.fs.write_json_atomic(self.meta_path, meta)
 
     def resolved_compare_cols(self) -> list[str]:
         """The table's authoritative compare set (persisted at init,
@@ -197,6 +193,7 @@ class HashBucketParquetTable:
         compare_cols: Sequence[str] | None = None,
         digest_impl: str = "jvm",
         touched: Sequence[int] | None = None,
+        has_deletes: bool | None = None,
     ) -> None:
         """MERGE the key-unique change set (payload + ``op``) into the table.
 
@@ -228,6 +225,12 @@ class HashBucketParquetTable:
         ``touched`` may pass a precomputed (superset of the) touched-bucket
         id set, saving this method its own discovery job — the change-set
         plan (canonicalize + LWW dedup) then executes exactly once.
+
+        ``has_deletes=False`` (caller knows the batch carries no DELETE
+        ops — the pipeline reads this off its lineage aggregate for free)
+        skips the emptied-bucket detection entirely: no pre/post partition
+        listings, which on object storage are the expensive part of the
+        commit. None = unknown = list defensively.
         """
         self._check_writable()
         changes = self._evolve_and_reconcile(changes)
@@ -285,9 +288,13 @@ class HashBucketParquetTable:
         # tasks (no small-file explosion), then ONE write job. No caching:
         # recomputing the plan is cheaper than materializing it, and at
         # scale cache memory is better spent on shuffle.
-        pre_files = {
-            b: self._part_files(b) for b in touched
-        }
+        # A bucket can only be EMPTIED by a DELETE, so when the caller
+        # certifies there are none, skip the pre/post listings outright.
+        pre_files = (
+            {b: self._part_files(b) for b in touched}
+            if has_deletes is not False
+            else {}
+        )
         (
             merged.repartition("_bucket")
             .write.mode("overwrite")  # dynamic: only partitions in output
@@ -297,11 +304,10 @@ class HashBucketParquetTable:
         # Buckets whose every row was deleted produce NO output partition,
         # which dynamic overwrite leaves stale. Detect them driver-side:
         # a touched bucket that received no new files was emptied.
-        for b in touched:
-            if not (self._part_files(b) - pre_files[b]):
-                part_dir = os.path.join(self.data_path, f"_bucket={b}")
-                if os.path.isdir(part_dir):
-                    shutil.rmtree(part_dir)
+        if has_deletes is not False:
+            for b in touched:
+                if not (self._part_files(b) - pre_files[b]):
+                    self.fs.remove_dir(os.path.join(self.data_path, f"_bucket={b}"))
 
     #: event-control columns that never belong to the table schema
     _CONTROL_COLS = ("op", "event_seq", "epoch")
@@ -376,10 +382,9 @@ class HashBucketParquetTable:
         return crowded
 
     def _part_files(self, bucket: int) -> set[str]:
-        part_dir = os.path.join(self.data_path, f"_bucket={bucket}")
-        if not os.path.isdir(part_dir):
-            return set()
-        return {f for f in os.listdir(part_dir) if f.endswith(".parquet")}
+        return self.fs.list_files(
+            os.path.join(self.data_path, f"_bucket={bucket}"), ".parquet"
+        )
 
 
 def iceberg_merge_sql(
