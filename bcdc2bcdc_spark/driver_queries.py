@@ -1570,3 +1570,86 @@ SQL_MULTI_ENTITY_INTEGRITY = f"""
 
 QUERIES["multi_entity_integrity"] = q_multi_entity_integrity
 ORACLES["multi_entity_integrity"] = SQL_MULTI_ENTITY_INTEGRITY
+
+
+# ---------------------------------------------------------------------------
+# round-2 scale-path variants: capped Jaccard, Hamming-k simhash probe
+# ---------------------------------------------------------------------------
+
+def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard with the document-frequency cap engaged (max_df=25):
+    hot shingles are excluded from the sets before sizes/intersections —
+    the guard that keeps the shared-token self-join from going quadratic
+    on stop-shingles at corpus scale."""
+    from bcdc2bcdc_spark.operators.dedupe import ngram_jaccard_pairs as _njp
+
+    return _njp(load(spark, sf_dir, "documents"), threshold=0.35, n=3, max_df=25)
+
+
+SQL_DEDUP_JACCARD_CAPPED = f"""
+    WITH toks0 AS ({_SHINGLES_SQL}),
+         hot AS (SELECT tok FROM toks0 GROUP BY tok HAVING COUNT(*) > 25),
+         toks AS (SELECT * FROM toks0 WHERE tok NOT IN (SELECT tok FROM hot)),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+           FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+           GROUP BY ta.doc_id, tb.doc_id
+         )
+    SELECT a, b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.35
+"""
+
+
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups within Hamming distance 2 via single-bit
+    multi-probe bucketing (17 probes/doc) — the Hamming-k path the plain
+    exact-bucket grouping lacks."""
+    from bcdc2bcdc_spark.operators.dedupe import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load(spark, sf_dir, "documents"), max_hamming=2)
+
+
+def _simhash_hamming_sql(max_hamming: int = 2) -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"  # noqa: E731
+    hv = f"((({nib(1)}) * 4096) + (({nib(2)}) * 256) + (({nib(3)}) * 16) + ({nib(4)}))"
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    probe_list = ", ".join(["simhash"] + [f"xor(simhash, {1 << j})" for j in range(16)])
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+         hv AS (SELECT doc_id, {hv} AS hv FROM toks),
+         votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
+         sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes),
+         probes AS (
+           SELECT doc_id, simhash, unnest([{probe_list}]) AS probe FROM sh
+         )
+    SELECT a, b, hamming FROM (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+      FROM probes x JOIN probes y ON x.probe = y.probe AND x.doc_id < y.doc_id
+    ) WHERE hamming <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_HAMMING = _simhash_hamming_sql()
+
+QUERIES.update(
+    {
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "simhash_hamming": q_simhash_hamming,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_jaccard_capped": SQL_DEDUP_JACCARD_CAPPED,
+        "simhash_hamming": SQL_SIMHASH_HAMMING,
+    }
+)

@@ -70,15 +70,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) with token/shingle-set Jaccard ≥ threshold.
 
     Shuffle profile: explode → groupBy token (intersection counts) →
-    join with per-doc set sizes. Stop-token guard: tokens shared by a huge
-    fraction of docs would quadratically blow the pair count at scale —
-    cap handled upstream by shingling (n≥3) for real corpora.
+    join with per-doc set sizes.
+
+    ``max_df`` is the SCALE guard: a shingle appearing in more than
+    ``max_df`` documents contributes O(df²) candidate pairs through the
+    shared-token self-join — one stop-shingle in a web corpus is a
+    quadratic blowup. With the cap set, hot shingles (a SMALL set, so the
+    anti-join broadcasts) are excluded from the token sets BEFORE sizes
+    and intersections, bounding per-token join work at max_df² while
+    keeping the measure deterministic (capped-set Jaccard). None keeps
+    exact full-set semantics for small corpora.
     """
     toks = (_shingles(df, text_col, id_col, n) if n > 1 else _distinct_tokens(df, text_col, id_col))
+    if max_df is not None:
+        hot = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = toks.select(F.col(id_col).alias("a"), "tok")
     b = toks.select(F.col(id_col).alias("b"), "tok")
@@ -214,6 +230,38 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
         sh.groupBy("simhash")
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs within Hamming distance ``max_hamming`` (≤2) of
+    the 16-bit simhash — MULTI-PROBE bucketing, not all-pairs: every doc
+    probes its fingerprint plus each single-bit flip (17 probes); two
+    fingerprints at Hamming distance 0/1/2 share ≥1 probe value, so the
+    candidate join is keyed on probe value and per-bucket work stays
+    O(bucket²) with 2^16 buckets × 17 probes. Exact distance is then
+    bit_count(a XOR b) on candidates only — same plan shape at 64-bit
+    fingerprints and any corpus size."""
+    if not 0 <= max_hamming <= 2:
+        raise ValueError("single-bit multi-probe covers Hamming distance ≤ 2")
+    sh = simhash16(df, text_col, id_col)
+    probes = F.array(
+        F.col("simhash"), *[F.col("simhash").bitwiseXOR(F.lit(1 << j)) for j in range(16)]
+    )
+    b = sh.select(F.col(id_col), "simhash", F.explode(probes).alias("probe"))
+    x = b.select(F.col(id_col).alias("a"), F.col("simhash").alias("sha"), "probe")
+    y = b.select(F.col(id_col).alias("b"), F.col("simhash").alias("shb"), "probe")
+    return (
+        x.join(y, "probe")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -153,3 +153,49 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_stub(media, every_ms=5000)
     assert frames.count() > 0
     assert frames.filter(F.col("frame_ts_ms") % 5000 != 0).count() == 0
+
+
+def test_simhash_hamming_multiprobe(spark):
+    from bcdc2bcdc_spark.operators.dedupe import simhash_hamming_pairs
+
+    mini = _mini_docs(spark)
+    pairs = simhash_hamming_pairs(mini, max_hamming=2).collect()
+    # identical token sets (docs 1,2) sit at Hamming 0 and must be found
+    assert any({p["a"], p["b"]} == {1, 2} and p["hamming"] == 0 for p in pairs)
+    assert all(p["hamming"] <= 2 for p in pairs)
+
+
+def test_jaccard_max_df_cap_matches_python_oracle(spark):
+    """Capped-set Jaccard semantics verified against a literal Python
+    recomputation: tokens with document frequency > max_df are removed
+    from every set BEFORE sizes and intersections."""
+    from collections import Counter
+
+    from bcdc2bcdc_spark.operators.dedupe import ngram_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma common"),
+        (2, "alpha beta delta common"),
+        (3, "epsilon zeta eta common"),
+        (4, "alpha beta gamma common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    max_df = 3  # "common" (df=4) is capped out; "alpha"/"beta" (df=3) stay
+    sets = {i: set(t.split()) for i, t in rows}
+    dfreq = Counter(tok for s in sets.values() for tok in s)
+    capped_sets = {i: {t for t in s if dfreq[t] <= max_df} for i, s in sets.items()}
+    expected = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(capped_sets[i] & capped_sets[j])
+                union = len(capped_sets[i] | capped_sets[j])
+                jac = inter / union if union else 0.0
+                if jac >= 0.5:
+                    expected[(i, j)] = round(jac, 6)
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5, n=1, max_df=max_df).collect()
+    }
+    assert got == expected
