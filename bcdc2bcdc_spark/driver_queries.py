@@ -1653,3 +1653,59 @@ ORACLES.update(
         "simhash_hamming": SQL_SIMHASH_HAMMING,
     }
 )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring (C4/Gopher-rule shape): BPE-ish sub-word token
+    count, stopword ratio, mean token length, composite quality score —
+    all column expressions (functions/text.py), mirrored term-for-term in
+    the oracle."""
+    from bcdc2bcdc_spark.functions.text import (
+        bpe_ish_token_count,
+        mean_token_len,
+        quality_score,
+        stopword_ratio,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(mean_token_len("text"), 6).alias("mean_tok_len"),
+        quality_score("text").alias("quality"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+               AS toks,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+               AS toks_cased,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+               / GREATEST(length(text), 1) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(
+                  regexp_replace(text, '([^\sA-Za-z0-9]+)', ' \1 ', 'g'), '\s+'),
+                x -> x <> '')) AS BIGINT) AS bpe_tokens,
+           ROUND(len(list_filter(toks,
+                   x -> x IN ('the','a','and','of','to','in','is')))
+                 / GREATEST(len(toks), 1), 6) AS stop_ratio,
+           ROUND(list_sum(list_transform(toks_cased, x -> length(x)))
+                 / GREATEST(len(toks_cased), 1), 6) AS mean_tok_len,
+           ROUND((
+             (CASE WHEN length(text) >= 100 THEN 1.0 ELSE length(text) / 100.0 END)
+             + (1.0 - LEAST(punct * 4, 1.0))
+             + (CASE WHEN list_sum(list_transform(toks_cased, x -> length(x)))
+                          / GREATEST(len(toks_cased), 1) BETWEEN 3 AND 12
+                     THEN 1.0 ELSE 0.5 END)
+           ) / 3.0, 4) AS quality
+    FROM t
+"""
+
+QUERIES["text_quality"] = q_text_quality
+ORACLES["text_quality"] = SQL_TEXT_QUALITY
