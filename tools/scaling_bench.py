@@ -63,8 +63,31 @@ def gen_input(workdir: str, n_events: int, n_epochs: int = 2) -> None:
     spark.stop()
 
 
-def run_at(cores: int, workdir: str, zpath: str) -> dict:
-    rundir = os.path.join(workdir, f"run_{cores}")
+def _cooldown() -> None:
+    """Drain page-cache writeback from the previous leg's parquet output
+    before timing the next one — measured round 2: background writeback
+    from a prior 10 GB write depresses a following leg's throughput by
+    10-25% and once pushed the 'raw-CPU ceiling' above 1.0 (impossible on
+    a quiet box). sync + settle makes legs independent."""
+    subprocess.run(["sync"], check=False)
+    __import__("time").sleep(10)
+
+
+def run_at(cores: int, workdir: str, zpath: str, repeats: int = 1) -> dict:
+    """Best-of-``repeats`` at one parallelism (shared/noisy sandbox: the
+    MAX throughput is the least-contended measurement of the same
+    deterministic job; final_rows must agree across repeats)."""
+    best: dict | None = None
+    for i in range(repeats):
+        _cooldown()
+        r = _run_once(cores, workdir, zpath, attempt=i)
+        if best is None or r["events_per_sec"] > best["events_per_sec"]:
+            best = r
+    return best
+
+
+def _run_once(cores: int, workdir: str, zpath: str, attempt: int = 0) -> dict:
+    rundir = os.path.join(workdir, f"run_{cores}_{attempt}")
     cmd = [
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
@@ -115,12 +138,17 @@ def cpu_ceiling() -> dict:
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "BASELINE.md")
-    workdir = tempfile.mkdtemp(prefix="cdc_scaling_")
+    repeats = int(os.environ.get("SCALING_REPEATS", "1"))
+    # tmpfs keeps disk writeback out of the measurement (128 GiB box;
+    # the working set is a few GB) — fall back to default tmp otherwise
+    base_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="cdc_scaling_", dir=base_tmp)
     try:
+        # ceiling FIRST, on the quietest box state (before any big writes)
+        ceil = cpu_ceiling()
         gen_input(workdir, n_events)
         zpath = make_zip(workdir)
-        runs = {c: run_at(c, workdir, zpath) for c in (2, 8, 32)}
-        ceil = cpu_ceiling()
+        runs = {c: run_at(c, workdir, zpath, repeats=repeats) for c in (2, 8, 32)}
         tput = {c: runs[c]["events_per_sec"] for c in runs}
         eff_2_8 = tput[8] / (4 * tput[2])
         eff_8_32 = tput[32] / (4 * tput[8])
