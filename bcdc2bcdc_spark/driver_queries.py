@@ -1709,3 +1709,72 @@ SQL_TEXT_QUALITY = r"""
 
 QUERIES["text_quality"] = q_text_quality
 ORACLES["text_quality"] = SQL_TEXT_QUALITY
+
+
+def q_row_digest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/§2.9 UDF surface: the row-digest scheme itself proven against an
+    independent engine — the JVM sha2 expression and the Arrow pandas UDF
+    (functions/digest.py, both per-column-hashed with NULL tagging) must
+    produce the identical digest, and DuckDB recomputes the same value
+    from the documented construction. NULLs exercised via canonical
+    nullish lang."""
+    from bcdc2bcdc_spark.functions.canonicalize import canonical_nullish
+    from bcdc2bcdc_spark.functions.digest import with_row_digest
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", canonical_nullish("lang").alias("lang"), "source"
+    )
+    out = with_row_digest(d, ["lang", "source"], "digest_jvm", impl="jvm")
+    out = with_row_digest(out, ["lang", "source"], "digest_arrow", impl="arrow")
+    return out.select("doc_id", "digest_jvm", "digest_arrow")
+
+
+_CELL_SQL = "CASE WHEN {c} IS NULL THEN sha256('n:') ELSE sha256('v:' || {c}) END"
+SQL_ROW_DIGEST_PARITY = f"""
+    SELECT doc_id,
+           sha256({_CELL_SQL.format(c="lang_c")} || chr(31)
+                  || {_CELL_SQL.format(c="source")}) AS digest_jvm,
+           sha256({_CELL_SQL.format(c="lang_c")} || chr(31)
+                  || {_CELL_SQL.format(c="source")}) AS digest_arrow
+    FROM (
+      SELECT doc_id,
+             CASE WHEN lang IN ('', 'None', 'null', 'NULL', 'N/A') THEN NULL
+                  ELSE lang END AS lang_c,
+             source
+      FROM documents
+    )
+"""
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth: ROLLUP aggregation with grouping markers —
+    subtotals per (returnflag, linestatus), per returnflag, and grand
+    total, with exact decimal sums (order-insensitive)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP_PRICING = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+QUERIES.update(
+    {"row_digest_parity": q_row_digest_parity, "rollup_pricing": q_rollup_pricing}
+)
+ORACLES.update(
+    {"row_digest_parity": SQL_ROW_DIGEST_PARITY, "rollup_pricing": SQL_ROLLUP_PRICING}
+)
