@@ -143,15 +143,7 @@ class CDCPipeline:
             ).parquet(f"{self.quarantine_dir}/epoch={epoch}")
 
         winners = self.prepare_batch(events)
-        # the lineage aggregate already counted DELETEs — a delete-free epoch
-        # lets the lake skip its emptied-bucket listings entirely
-        has_deletes = any(r["deletes"] > 0 for r in lineage_rows)
-        self.table.upsert(
-            winners,
-            digest_impl=self.digest_impl,
-            touched=touched,
-            has_deletes=has_deletes,
-        )
+        self.table.upsert(winners, digest_impl=self.digest_impl, touched=touched)
 
         spark = events.sparkSession
         from bcdc2bcdc_spark.schema import LINEAGE_SCHEMA

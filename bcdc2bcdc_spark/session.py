@@ -24,8 +24,9 @@ _DEFAULT_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Deterministic timestamps across Spark and the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
-    # Needed by the parquet lake backend: overwrite ONLY the bucket
-    # partitions present in the upsert output, leave the rest untouched.
+    # Kept for user overwrite-mode writes; the lake backend itself now
+    # commits via immutable generation dirs + an atomic manifest swap and
+    # no longer relies on dynamic partition overwrite.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "snappy",
     # Write path: v2 committer moves task output directly (no serial

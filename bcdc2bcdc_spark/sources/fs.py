@@ -24,6 +24,13 @@ class LocalFS:
             return set()
         return {f for f in os.listdir(dir_path) if f.endswith(suffix)}
 
+    def list_subdirs(self, dir_path: str) -> set[str]:
+        if not os.path.isdir(dir_path):
+            return set()
+        return {
+            d for d in os.listdir(dir_path) if os.path.isdir(os.path.join(dir_path, d))
+        }
+
     def remove_dir(self, dir_path: str) -> None:
         if os.path.isdir(dir_path):
             shutil.rmtree(dir_path)

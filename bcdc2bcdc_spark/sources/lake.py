@@ -10,13 +10,17 @@ idempotent MERGE INTO. Two interchangeable backends behind one interface:
   catalog table bucketed by ``bucket(N, repo)``. The production path; the
   runtime jar is not present in this sandbox, so only SQL generation is
   exercised by tests (gated import-try at session build).
-* ``HashBucketParquetTable`` — same semantics on plain parquet: the table
-  is partitioned by a persisted bucket column ``_bucket =
-  pmod(xxhash64(repo, path), n_buckets)``; an upsert reads ONLY the bucket
-  partitions the change set touches (partition pruning on the read,
-  dynamic partition overwrite on the write), joins, and rewrites just
-  those buckets. Work per upsert is O(touched buckets), not O(table) —
-  the same read-amplification profile as Iceberg copy-on-write MERGE.
+* ``HashBucketParquetTable`` — same semantics on plain parquet: rows are
+  hash-bucketed by business key (``pmod(xxhash64(repo, path), n_buckets)``)
+  and an upsert reads ONLY the buckets the change set touches, joins, and
+  rewrites just those buckets. Work per upsert is O(touched buckets), not
+  O(table) — the same read-amplification profile as Iceberg copy-on-write
+  MERGE. Commits are ATOMIC via a manifest pointer (Iceberg's snapshot
+  pattern on plain parquet): each upsert writes a fresh immutable
+  generation directory, then swaps the bucket→generation map in
+  ``_table.json`` with one atomic rename; a crash anywhere before the
+  swap leaves the previous table state fully intact, and orphaned
+  generations from crashed attempts are swept after the next commit.
 
 Write-guard: like the reference's ``CKAN_DO_NOT_WRITE_URL`` check
 (CKAN.py:431-460), a table opened with ``protected=True`` refuses mutation.
@@ -51,8 +55,16 @@ class HashBucketParquetTable:
 
     Layout::
 
-        <path>/_table.json            table metadata (keys, n_buckets)
-        <path>/data/_bucket=<i>/...   parquet, one partition dir per bucket
+        <path>/_table.json                 metadata + bucket→generation map
+        <path>/data/<gen>/_bucket=<i>/...  immutable generation directories
+
+    The manifest's ``buckets`` map names, per bucket id, the generation
+    directory currently holding its rows; buckets absent from the map are
+    empty. Readers resolve the map and read exactly those directories
+    (pruning by construction — no partition discovery, no listings);
+    writers stage a new generation and COMMIT by atomically rewriting the
+    manifest. Emptied buckets simply leave the map — no delete-then-rename
+    window exists anywhere.
 
     ``n_buckets`` sizes the upsert read amplification: a change set touching
     k distinct buckets rewrites k/n_buckets of the table. At 100 TB pick
@@ -71,6 +83,12 @@ class HashBucketParquetTable:
     #: driver-side metadata FS (sources/fs.py): swap for an object-store
     #: implementation off-POSIX; Spark data reads/writes are unaffected.
     fs: object = field(default_factory=LocalFS)
+    #: snapshot retention (Iceberg expire_snapshots analog): a generation
+    #: that lost its last manifest reference at commit S is deleted only
+    #: once commit_seq ≥ S + retain_generations, so reader plans pinned to
+    #: an older manifest survive that many subsequent commits. Crashed
+    #: never-referenced stagings are swept at the next commit regardless.
+    retain_generations: int = 2
 
     @property
     def data_path(self) -> str:
@@ -97,12 +115,8 @@ class HashBucketParquetTable:
         with_digest = with_row_digest(
             df, [c for c in self.compare_cols if c in df.columns], "_digest", impl=digest_impl
         )
-        (
+        gen, written = self._write_generation(
             with_digest.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
-            .repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(self.data_path)
         )
         compare = [c for c in self.compare_cols if c in df.columns]
         self.fs.write_json_atomic(
@@ -115,8 +129,42 @@ class HashBucketParquetTable:
                 # only trust stored digests while this equals compare_cols
                 "digest_cols": compare,
                 "schema": df.schema.jsonValue(),
+                "buckets": {str(b): gen for b in written},
             },
         )
+        self._sweep_unreferenced_generations()
+
+    def _write_generation(self, df_with_bucket: DataFrame) -> tuple[str, set[int]]:
+        """Stage one immutable generation: ONE shuffle by bucket (each
+        bucket dir written by few tasks — no small-file explosion), ONE
+        write job, then a single listing of the FRESH output to learn which
+        buckets produced rows. Nothing existing is touched."""
+        import uuid as _uuid
+
+        gen = f"gen-{_uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.data_path, gen)
+        (
+            df_with_bucket.repartition("_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(out)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in self.fs.list_subdirs(out)
+            if d.startswith("_bucket=")
+        }
+        return gen, written
+
+    def _sweep_unreferenced_generations(self) -> None:
+        """GC generation dirs that are neither referenced by any bucket nor
+        held by the retention window — i.e. expired snapshots and the
+        leftovers of crashed (never-committed) stagings. Runs AFTER the
+        manifest swap, so a crash here leaves garbage, never corruption."""
+        meta = self._meta()
+        keep = set(meta.get("buckets", {}).values()) | set(meta.get("retired", {}))
+        for d in self.fs.list_subdirs(self.data_path):
+            if d not in keep:
+                self.fs.remove_dir(os.path.join(self.data_path, d))
 
     def _meta(self) -> dict:
         return self.fs.read_json(self.meta_path)
@@ -134,13 +182,12 @@ class HashBucketParquetTable:
     def data_schema(self) -> T.StructType:
         return T.StructType.fromJson(self._meta()["schema"])
 
-    def _schema(self) -> T.StructType:
+    def _file_schema(self) -> T.StructType:
+        # what generation files physically hold: payload + persisted digest
+        # (the bucket id is derivable from the keys, never stored)
         return T.StructType(
             list(self.data_schema().fields)
-            + [
-                T.StructField("_digest", T.StringType(), True),
-                T.StructField("_bucket", T.IntegerType(), True),
-            ]
+            + [T.StructField("_digest", T.StringType(), True)]
         )
 
     def evolve(self, incoming: T.StructType) -> bool:
@@ -173,10 +220,27 @@ class HashBucketParquetTable:
         self._write_meta(meta)
         return True
 
-    def _read_raw(self) -> DataFrame:
-        # Explicit schema: no inference pass (one less listing at scale) and
-        # a fully-deleted table (zero bucket dirs) still reads as empty.
-        return self.spark.read.schema(self._schema()).parquet(self.data_path)
+    def _bucket_dir(self, bucket: int, gen: str) -> str:
+        return os.path.join(self.data_path, gen, f"_bucket={bucket}")
+
+    def _read_raw(self, buckets: Sequence[int] | None = None) -> DataFrame:
+        """Manifest-resolved read: exactly the referenced generation dirs
+        of the requested buckets (all buckets when None). Pruning by
+        construction — no partition discovery, no schema inference, and a
+        fully-deleted table (empty map) reads as empty. ``_bucket`` is
+        recomputed from the keys (deterministic), never parsed from paths."""
+        bmap = self._meta().get("buckets", {})
+        items = (
+            bmap.items()
+            if buckets is None
+            else [(str(b), bmap[str(b)]) for b in buckets if str(b) in bmap]
+        )
+        dirs = [self._bucket_dir(int(b), gen) for b, gen in items]
+        if not dirs:
+            df = self.spark.createDataFrame([], self._file_schema())
+        else:
+            df = self.spark.read.schema(self._file_schema()).parquet(*dirs)
+        return df.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
 
     def read(self) -> DataFrame:
         return self._read_raw().drop("_bucket", "_digest")
@@ -193,13 +257,11 @@ class HashBucketParquetTable:
         compare_cols: Sequence[str] | None = None,
         digest_impl: str = "jvm",
         touched: Sequence[int] | None = None,
-        has_deletes: bool | None = None,
     ) -> None:
         """MERGE the key-unique change set (payload + ``op``) into the table.
 
-        Only bucket partitions containing changed keys are read and
-        rewritten; the rest of the table is untouched (dynamic partition
-        overwrite).
+        Only buckets containing changed keys are read and rewritten; the
+        rest of the table is untouched (their manifest entries carry over).
 
         ``compare_cols=None`` (the default — what CDCPipeline passes)
         resolves the compare set from the table's persisted metadata, so
@@ -212,25 +274,20 @@ class HashBucketParquetTable:
         (``digest_cols`` lags); upserts then recompute base digests for
         touched buckets until ``redigest()`` re-baselines the table.
 
-        Crash safety: replaying this upsert is idempotent — deterministic
-        input ⇒ identical bucket contents — which heals a crash BEFORE or
-        AFTER the file commit. The commit itself (dynamic partition
-        overwrite: delete touched partition dirs, move staged files in) is
-        NOT atomic: a crash inside that window can leave a bucket missing
-        its unchanged base rows, which no replay of the change set can
-        restore. The parquet backend is therefore resume-safe but not
-        mid-commit-crash-safe; Iceberg (atomic snapshot commit) is the
-        durable production path.
+        Crash safety — ATOMIC commit: the merged buckets are staged into a
+        fresh immutable generation directory, then the bucket→generation
+        manifest is swapped with one atomic metadata write (Iceberg's
+        snapshot-commit pattern on plain parquet). A crash anywhere before
+        the swap leaves the previous table state fully intact (the staged
+        generation is unreferenced garbage, swept after the next commit);
+        after the swap the new state is complete. Emptied buckets leave
+        the manifest — no delete-before-rename window exists. Replay is
+        additionally idempotent (deterministic input ⇒ identical bucket
+        contents), so a crashed epoch is safely re-applied from checkpoint.
 
         ``touched`` may pass a precomputed (superset of the) touched-bucket
         id set, saving this method its own discovery job — the change-set
         plan (canonicalize + LWW dedup) then executes exactly once.
-
-        ``has_deletes=False`` (caller knows the batch carries no DELETE
-        ops — the pipeline reads this off its lineage aggregate for free)
-        skips the emptied-bucket detection entirely: no pre/post partition
-        listings, which on object storage are the expensive part of the
-        commit. None = unknown = list defensively.
         """
         self._check_writable()
         changes = self._evolve_and_reconcile(changes)
@@ -257,11 +314,8 @@ class HashBucketParquetTable:
         touched = sorted(set(touched))
         if not touched:
             return
-        base = (
-            self._read_raw()
-            .filter(F.col("_bucket").isin(touched))  # partition pruning
-            .drop("_bucket")
-        )
+        # manifest-resolved read of exactly the touched buckets' dirs
+        base = self._read_raw(buckets=touched).drop("_bucket")
         if not digests_current:
             # stored digests predate a compare-set change (schema evolution):
             # recompute over the touched rows — correct, costs one digest
@@ -284,30 +338,41 @@ class HashBucketParquetTable:
             changes_digest_col="_cdigest",
             out_digest_col="_digest",
         ).withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
-        # One shuffle by bucket so each partition dir is written by few
-        # tasks (no small-file explosion), then ONE write job. No caching:
-        # recomputing the plan is cheaper than materializing it, and at
-        # scale cache memory is better spent on shuffle.
-        # A bucket can only be EMPTIED by a DELETE, so when the caller
-        # certifies there are none, skip the pre/post listings outright.
-        pre_files = (
-            {b: self._part_files(b) for b in touched}
-            if has_deletes is not False
-            else {}
-        )
-        (
-            merged.repartition("_bucket")
-            .write.mode("overwrite")  # dynamic: only partitions in output
-            .partitionBy("_bucket")
-            .parquet(self.data_path)
-        )
-        # Buckets whose every row was deleted produce NO output partition,
-        # which dynamic overwrite leaves stale. Detect them driver-side:
-        # a touched bucket that received no new files was emptied.
-        if has_deletes is not False:
-            for b in touched:
-                if not (self._part_files(b) - pre_files[b]):
-                    self.fs.remove_dir(os.path.join(self.data_path, f"_bucket={b}"))
+        # No caching: recomputing the plan is cheaper than materializing it,
+        # and at scale cache memory is better spent on shuffle.
+        self._commit_generation(merged, touched)
+
+    def _commit_generation(self, merged: DataFrame, touched: Sequence[int]) -> None:
+        """Stage → swap → sweep. The manifest rewrite is the atomic commit
+        point; a touched bucket with no staged output was emptied and
+        simply leaves the map. Generations that lost their last reference
+        RETIRE at this commit's sequence number and are physically deleted
+        only after ``retain_generations`` further commits (snapshot
+        retention), so readers pinned to a recent manifest stay valid.
+        A partially superseded generation keeps its dead bucket dirs until
+        it fully retires — bounded dead space, reclaimed by later commits
+        or compact()."""
+        gen, written = self._write_generation(merged)
+        meta = self._meta()
+        bmap = meta.setdefault("buckets", {})
+        before_refs = set(bmap.values())
+        for b in touched:
+            if b in written:
+                bmap[str(b)] = gen
+            else:
+                bmap.pop(str(b), None)  # every row deleted → bucket is empty
+        seq = int(meta.get("commit_seq", 0)) + 1
+        meta["commit_seq"] = seq
+        retired = meta.setdefault("retired", {})
+        for g in before_refs - set(bmap.values()):
+            retired[g] = seq  # lost its last reference at this commit
+        expired = [g for g, s in retired.items() if seq >= int(s) + self.retain_generations]
+        for g in expired:
+            retired.pop(g, None)
+        self._write_meta(meta)  # ← ATOMIC COMMIT POINT
+        # post-commit GC: expired snapshots + crashed-staging orphans;
+        # a crash in here leaves unreferenced dirs for the next sweep
+        self._sweep_unreferenced_generations()
 
     #: event-control columns that never belong to the table schema
     _CONTROL_COLS = ("op", "event_seq", "epoch")
@@ -346,12 +411,9 @@ class HashBucketParquetTable:
         rewritten = with_row_digest(
             self._read_raw().drop("_digest"), compare, "_digest", impl=digest_impl
         )
-        (
-            rewritten.repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(self.data_path)
-        )
+        touched = [int(b) for b in meta.get("buckets", {})]
+        self._commit_generation(rewritten, touched)
+        meta = self._meta()  # re-read: the commit rewrote the bucket map
         meta["digest_cols"] = compare
         self._write_meta(meta)
 
@@ -361,30 +423,23 @@ class HashBucketParquetTable:
         single coalesced file set. Epoch upserts append task-sized files;
         over many epochs a bucket accumulates them — at 100 TB this is the
         Iceberg ``rewrite_data_files`` action; here it is a per-bucket
-        read→repartition(1 per bucket)→dynamic-overwrite. Content is
-        unchanged (idempotent); returns the compacted bucket ids."""
+        read→repartition(1 per bucket)→atomic generation commit. Content
+        is unchanged (idempotent); returns the compacted bucket ids."""
         self._check_writable()
+        bmap = self._meta().get("buckets", {})
         crowded = [
-            b
-            for b in range(self.n_buckets)
-            if len(self._part_files(b)) > max_files_per_bucket
+            int(b) for b in bmap if len(self._part_files(int(b))) > max_files_per_bucket
         ]
         if not crowded:
             return []
-        (
-            self._read_raw()
-            .filter(F.col("_bucket").isin(crowded))
-            .repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(self.data_path)
-        )
+        self._commit_generation(self._read_raw(buckets=crowded), crowded)
         return crowded
 
     def _part_files(self, bucket: int) -> set[str]:
-        return self.fs.list_files(
-            os.path.join(self.data_path, f"_bucket={bucket}"), ".parquet"
-        )
+        gen = self._meta().get("buckets", {}).get(str(bucket))
+        if gen is None:
+            return set()
+        return self.fs.list_files(self._bucket_dir(bucket, gen), ".parquet")
 
 
 def iceberg_merge_sql(

@@ -34,8 +34,8 @@ def test_lake_init_read_roundtrip(spark, tmp_table):
     base = canonicalize_snapshot(gen_repos(spark, n_keys=400))
     tmp_table.init(base)
     assert datasets_equal(tmp_table.read(), base)
-    # data really is bucket-partitioned on disk
-    assert glob.glob(os.path.join(tmp_table.data_path, "_bucket=*"))
+    # data really is bucket-partitioned on disk (inside a generation dir)
+    assert glob.glob(os.path.join(tmp_table.data_path, "gen-*", "_bucket=*"))
 
 
 def test_lake_upsert_matches_apply_changes(spark, tmp_table):
@@ -55,7 +55,7 @@ def test_lake_upsert_prunes_untouched_buckets(spark, tmp_table):
     tmp_table.init(base)
     before = {
         p: os.path.getmtime(p)
-        for p in glob.glob(os.path.join(tmp_table.data_path, "_bucket=*", "*.parquet"))
+        for p in glob.glob(os.path.join(tmp_table.data_path, "*", "_bucket=*", "*.parquet"))
     }
     one = tmp_table.read().limit(1).withColumn("op", F.lit("UPDATE")).withColumn(
         "content", F.lit("changed!")
@@ -63,7 +63,7 @@ def test_lake_upsert_prunes_untouched_buckets(spark, tmp_table):
     tmp_table.upsert(one)
     after = {
         p: os.path.getmtime(p)
-        for p in glob.glob(os.path.join(tmp_table.data_path, "_bucket=*", "*.parquet"))
+        for p in glob.glob(os.path.join(tmp_table.data_path, "*", "_bucket=*", "*.parquet"))
     }
     untouched_same = [p for p in before if p in after and before[p] == after[p]]
     assert untouched_same, "expected untouched bucket files to survive upsert"
@@ -245,9 +245,9 @@ def test_compact_reduces_files_preserves_content(spark, tmp_path):
     base = gen_repos(spark, n_keys=300, seed=15)
     table, cp, pipe = _mk_pipeline(spark, tmp_path)
     table.init(canonicalize_snapshot(base))
-    # upsert keeps buckets single-generation (dynamic overwrite); crowding
+    # upsert rewrites touched buckets into fresh generations; crowding
     # comes from APPEND-mode writers (streaming sinks, external loaders) —
-    # simulate one: append extra rows as new files into existing buckets
+    # simulate one: append extra files into the CURRENT generation's buckets
     # disjoint keys: base used key ids 0..299 → file numbers < 300
     extra = canonicalize_snapshot(gen_repos(spark, n_keys=900, seed=16)).filter(
         F.regexp_extract("path", r"file_(\d+)", 1).cast("int") >= 300
@@ -261,7 +261,7 @@ def test_compact_reduces_files_preserves_content(spark, tmp_path):
         .repartition(4, "_bucket")
         .write.mode("append")
         .partitionBy("_bucket")
-        .parquet(table.data_path)
+        .parquet(os.path.join(table.data_path, next(iter(table._meta()["buckets"].values()))))
     )
     before = table.read().cache()
     n_files_before = sum(len(table._part_files(b)) for b in range(table.n_buckets))
@@ -339,3 +339,41 @@ def test_iceberg_upsert_issues_merge_sql(spark, monkeypatch):
     assert "WHEN NOT MATCHED AND s.op <> 'DELETE' THEN INSERT" in sql
     # the registered view is queryable with the change rows
     assert spark.table("_cdc_changes").count() == 10
+
+
+def test_crashed_commit_leaves_table_intact_and_is_swept(spark, tmp_path):
+    """ATOMIC-commit property: a generation staged but never committed
+    (crash between the data write and the manifest swap) is invisible to
+    readers and gets garbage-collected by the next successful commit."""
+    import json
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=120, seed=21))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.init(base)
+    before = sorted(map(tuple, table.read().collect()))
+    meta_before = json.dumps(table._meta(), sort_keys=True)
+
+    # simulate the crash: stage a generation exactly like upsert would,
+    # then DIE before the manifest swap
+    from bcdc2bcdc_spark.functions.digest import with_row_digest
+    from bcdc2bcdc_spark.sources.lake import _bucket_expr
+
+    doomed = with_row_digest(
+        canonicalize_snapshot(gen_repos(spark, n_keys=10, seed=99)),
+        ["lang", "content"], "_digest",
+    ).withColumn("_bucket", _bucket_expr(table.key_cols, table.n_buckets))
+    orphan_gen, _ = table._write_generation(doomed)
+    orphan_dir = os.path.join(table.data_path, orphan_gen)
+    assert os.path.isdir(orphan_dir)
+
+    # table state is untouched: same rows, same manifest
+    assert sorted(map(tuple, table.read().collect())) == before
+    assert json.dumps(table._meta(), sort_keys=True) == meta_before
+
+    # the next real commit sweeps the orphan and applies its own change
+    one = table.read().limit(1).withColumn("op", F.lit("UPDATE")).withColumn(
+        "content", F.lit("post-crash")
+    ).withColumn("event_seq", F.lit(7).cast("long"))
+    table.upsert(one)
+    assert not os.path.isdir(orphan_dir), "orphan generation not swept"
+    assert table.read().filter(F.col("content") == "post-crash").count() == 1
