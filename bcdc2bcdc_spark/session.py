@@ -29,6 +29,11 @@ _DEFAULT_CONF = {
     # no longer relies on dynamic partition overwrite.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "snappy",
+    # The lake's manifest-resolved reads pass one root path per bucket dir;
+    # above this threshold Spark launches a DISTRIBUTED listing job per
+    # read — pure scheduling overhead for O(n_buckets) tiny dirs. List on
+    # the driver instead (object stores: revisit with async listing).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
     # Write path: v2 committer moves task output directly (no serial
     # driver-side job-commit rename pass) and parquet summary files off —
     # both standard large-cluster settings.

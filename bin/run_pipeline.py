@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = SparkSession.builder.appName("bcdc2bcdc-spark-pipeline").getOrCreate()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     # engine write-path settings (see bcdc2bcdc_spark/session.py) — these are
     # hadoop-level, settable at runtime
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
