@@ -377,3 +377,20 @@ def test_crashed_commit_leaves_table_intact_and_is_swept(spark, tmp_path):
     table.upsert(one)
     assert not os.path.isdir(orphan_dir), "orphan generation not swept"
     assert table.read().filter(F.col("content") == "post-crash").count() == 1
+
+
+def test_reader_snapshot_survives_one_commit(spark, tmp_path):
+    """Snapshot retention: a reader plan pinned to the manifest BEFORE an
+    upsert still materializes afterwards (retain_generations=2 keeps the
+    retired generation's files), and shows the pre-commit rows — the
+    Iceberg time-travel-window analog."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=80, seed=33))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.init(base)
+    pinned = table.read()  # plan resolves the CURRENT manifest now
+    change = table.read().limit(5).withColumn("op", F.lit("UPDATE")).withColumn(
+        "content", F.lit("v2")
+    ).withColumn("event_seq", F.lit(1).cast("long"))
+    table.upsert(change)  # retires the init generation (not yet swept)
+    assert pinned.filter(F.col("content") == "v2").count() == 0  # old snapshot
+    assert table.read().filter(F.col("content") == "v2").count() == 5  # new
