@@ -96,3 +96,71 @@ def test_digest_injective_on_separator_adversaries(spark):
     df = spark.createDataFrame(pairs, "x string, y string")
     digs = [r["d"] for r in df.select(row_digest_expr(["x", "y"]).alias("d")).collect()]
     assert len(set(digs)) == len(pairs)
+
+
+# ---------------------------------------------------------------------------
+# operator-level properties: LWW strategy agreement, diff→apply convergence
+# ---------------------------------------------------------------------------
+
+_vals = st.sampled_from(["a", "b", "", "None", None, "x y"])
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["ADD", "UPDATE", "DELETE"]), _vals),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_lww_strategies_agree_on_random_logs(spark, evs):
+    """window / maxby / salted LWW produce the identical winner set on
+    arbitrary event logs (duplicate keys, falsy payloads, every op mix)."""
+    from bcdc2bcdc_spark.operators.lww import lww_dedup
+
+    rows = [
+        (f"r{k % 3}", f"p{k}", f"{i:06d}", lang, op, i)
+        for i, (k, op, lang) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, op string, event_seq long"
+    )
+    outs = [
+        sorted(
+            map(
+                tuple,
+                lww_dedup(
+                    df, order_cols=("commit", "event_seq"), strategy=s, n_salts=4
+                ).collect(),
+            )
+        )
+        for s in ("window", "maxby", "salted")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    src=st.dictionaries(st.integers(0, 20), st.tuples(_vals, _vals), max_size=20),
+    dest=st.dictionaries(st.integers(0, 20), st.tuples(_vals, _vals), max_size=20),
+)
+def test_diff_apply_converges_on_random_snapshots(spark, src, dest):
+    """D3 as a law: for ARBITRARY src/dest snapshots (falsy noise included),
+    dest + apply(diff(src, dest)) ≡ src under falsy-equivalence, and a
+    second application of the same delta changes nothing (idempotence)."""
+    from bcdc2bcdc_spark.functions.canonicalize import canonicalize_snapshot
+    from bcdc2bcdc_spark.operators.apply import apply_changes
+    from bcdc2bcdc_spark.operators.diff import datasets_equal, snapshot_diff
+
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    def frame(d):
+        rows = [(f"r{k % 3}", f"p{k}", "c0", v[0], v[1]) for k, v in d.items()]
+        return spark.createDataFrame(rows, schema)
+
+    s, d = frame(src), frame(dest)
+    delta = snapshot_diff(s, d)
+    converged = apply_changes(canonicalize_snapshot(d), delta)
+    assert datasets_equal(converged, canonicalize_snapshot(s))
+    again = apply_changes(converged, delta)
+    assert datasets_equal(again, converged)
