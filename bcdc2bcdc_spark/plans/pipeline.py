@@ -156,8 +156,15 @@ class CDCPipeline:
             LINEAGE_SCHEMA,
         )
         self.checkpoints.write_lineage(epoch, lineage_df)
+        # epoch marker records WHICH table snapshot the epoch produced —
+        # the audit link between the offset log and the lake's manifest
+        # history (tables without commit sequencing get an opaque id)
+        snap = getattr(self.table, "commit_seq", None)
         self.checkpoints.commit(
-            epoch, offset_start=lo, offset_end=hi, snapshot_id=uuid.uuid4().hex
+            epoch,
+            offset_start=lo,
+            offset_end=hi,
+            snapshot_id=str(snap()) if callable(snap) else uuid.uuid4().hex,
         )
         return True
 

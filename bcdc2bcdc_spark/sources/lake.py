@@ -119,18 +119,22 @@ class HashBucketParquetTable:
             with_digest.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
         )
         compare = [c for c in self.compare_cols if c in df.columns]
+        meta = {
+            "key_cols": list(self.key_cols),
+            "n_buckets": self.n_buckets,
+            "compare_cols": compare,
+            # what the PERSISTED `_digest` column covers; upserts may
+            # only trust stored digests while this equals compare_cols
+            "digest_cols": compare,
+            "schema": df.schema.jsonValue(),
+            "buckets": {str(b): gen for b in written},
+            "commit_seq": 1,
+        }
+        self.fs.write_json_atomic(self.meta_path, meta)
+        # init is destructive: drop any previous table's version history
+        self.fs.remove_dir(os.path.join(self.path, "_history"))
         self.fs.write_json_atomic(
-            self.meta_path,
-            {
-                "key_cols": list(self.key_cols),
-                "n_buckets": self.n_buckets,
-                "compare_cols": compare,
-                # what the PERSISTED `_digest` column covers; upserts may
-                # only trust stored digests while this equals compare_cols
-                "digest_cols": compare,
-                "schema": df.schema.jsonValue(),
-                "buckets": {str(b): gen for b in written},
-            },
+            os.path.join(self.path, "_history", "manifest-1.json"), meta
         )
         self._sweep_unreferenced_generations()
 
@@ -244,6 +248,43 @@ class HashBucketParquetTable:
 
     def read(self) -> DataFrame:
         return self._read_raw().drop("_bucket", "_digest")
+
+    def commit_seq(self) -> int:
+        """The table's current commit sequence number (0 = just-initialized)."""
+        return int(self._meta().get("commit_seq", 0))
+
+    def versions(self) -> list[int]:
+        """Commit sequence numbers with a frozen manifest (time travel)."""
+        hist = self.fs.list_files(os.path.join(self.path, "_history"), ".json")
+        return sorted(int(f[len("manifest-") : -len(".json")]) for f in hist)
+
+    def read_version(self, seq: int) -> DataFrame:
+        """Read the table AS OF commit ``seq`` (Iceberg time-travel analog)
+        from its frozen manifest. Valid while the version's generations
+        survive the retention window (``retain_generations`` commits);
+        raises a clear error once they have been expired. Version diffing
+        is then just ``snapshot_diff(read_version(a), read_version(b))``."""
+        path = os.path.join(self.path, "_history", f"manifest-{seq}.json")
+        if not self.fs.exists(path):
+            raise ValueError(f"no manifest for commit {seq}; have {self.versions()}")
+        hist = self.fs.read_json(path)
+        live = self.fs.list_subdirs(self.data_path)
+        gone = sorted(set(hist.get("buckets", {}).values()) - live)
+        if gone:
+            raise ValueError(
+                f"version {seq} references expired generations {gone} "
+                f"(older than retain_generations={self.retain_generations} commits)"
+            )
+        dirs = [
+            self._bucket_dir(int(b), g) for b, g in hist.get("buckets", {}).items()
+        ]
+        schema = T.StructType(
+            list(T.StructType.fromJson(hist["schema"]).fields)
+            + [T.StructField("_digest", T.StringType(), True)]
+        )
+        if not dirs:
+            return self.spark.createDataFrame([], schema).drop("_digest")
+        return self.spark.read.schema(schema).parquet(*dirs).drop("_digest")
 
     def bucket_expr(self) -> F.Column:
         """The table's bucket assignment expression — callers that already
@@ -370,6 +411,11 @@ class HashBucketParquetTable:
         for g in expired:
             retired.pop(g, None)
         self._write_meta(meta)  # ← ATOMIC COMMIT POINT
+        # manifest history: one frozen manifest per commit (time travel /
+        # version diff); readable while its generations survive retention
+        self.fs.write_json_atomic(
+            os.path.join(self.path, "_history", f"manifest-{seq}.json"), meta
+        )
         # post-commit GC: expired snapshots + crashed-staging orphans;
         # a crash in here leaves unreferenced dirs for the next sweep
         self._sweep_unreferenced_generations()

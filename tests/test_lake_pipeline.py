@@ -394,3 +394,42 @@ def test_reader_snapshot_survives_one_commit(spark, tmp_path):
     table.upsert(change)  # retires the init generation (not yet swept)
     assert pinned.filter(F.col("content") == "v2").count() == 0  # old snapshot
     assert table.read().filter(F.col("content") == "v2").count() == 5  # new
+
+
+def test_time_travel_read_version_and_diff(spark, tmp_path):
+    """Manifest history gives Iceberg-style time travel: read the table AS
+    OF an earlier commit while its generations survive retention, diff two
+    versions with snapshot_diff, and get a clear error once expired."""
+    import pytest as _pytest
+
+    from bcdc2bcdc_spark.operators.diff import snapshot_diff
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=60, seed=44))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.init(base)
+    assert table.commit_seq() == 1
+
+    def upd(tag, seq):
+        # touches EVERY key → every bucket → prior generation fully retires
+        return table.read().withColumn("op", F.lit("UPDATE")).withColumn(
+            "content", F.lit(tag)
+        ).withColumn("event_seq", F.lit(seq).cast("long"))
+
+    table.upsert(upd("v2", 1))
+    table.upsert(upd("v3", 2))
+    assert table.versions() == [1, 2, 3] and table.commit_seq() == 3
+
+    # as-of reads: version 2 is all-v2, version 3 all-v3
+    v2 = table.read_version(2)
+    assert v2.filter(F.col("content") == "v2").count() == 60
+    assert v2.filter(F.col("content") == "v3").count() == 0
+    # version diff = the change set between commits
+    delta = snapshot_diff(table.read_version(3), table.read_version(2))
+    assert delta.filter(F.col("op") == "UPDATE").count() == 60
+
+    # push version 1's generation past retention (retain_generations=2):
+    # fully retired at commit 2 → expired once commit_seq reaches 4
+    table.upsert(upd("v4", 3))
+    table.upsert(upd("v5", 4))
+    with _pytest.raises(ValueError, match="expired generations"):
+        table.read_version(1).count()
