@@ -1778,3 +1778,68 @@ QUERIES.update(
 ORACLES.update(
     {"row_digest_parity": SQL_ROW_DIGEST_PARITY, "rollup_pricing": SQL_ROLLUP_PRICING}
 )
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship hard-signal row: the real engine — CDCPipeline over a
+    HashBucketParquetTable with checkpoints, lineage, LWW dedup and Arrow
+    sha256 digests — applies the derived event log in two epochs to an
+    empty lake; the final table must equal the INDEPENDENT SQL replay of
+    the same log (the reference's replay-convergence contract, end to end
+    through real storage). The result is materialized before the temp
+    lake is removed, so the returned frame is self-contained."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+    from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    work = tempfile.mkdtemp(prefix="cdc_contract_")
+    try:
+        ev = cdc_events(spark, sf_dir)
+        half = _half_seq_dir(spark, sf_dir)
+        ev = ev.withColumnRenamed("commit_id", "commit").withColumn(
+            "epoch", F.when(F.col("event_seq") <= half, F.lit(0)).otherwise(F.lit(1))
+        )
+        table = HashBucketParquetTable(spark, f"{work}/lake", n_buckets=16)
+        table.init(spark.createDataFrame([], REPOS_SCHEMA))
+        pipe = CDCPipeline(
+            table=table,
+            checkpoints=CheckpointStore(f"{work}/ckpt"),
+            digest_impl="arrow",  # the north-rule-mandated digest path
+            order_cols=LWW_ORDER_COMMIT,
+        )
+        pipe.run(ev)
+        rows = [
+            (r["repo"], r["path"], r["lang"], r["content"])
+            for r in table.read().select("repo", "path", "lang", "content").collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+#: pipeline LWW order: the derived event_seq is not unique (duplicate
+#: lineitem keys), so the order extends over the payload — same total
+#: order as LWW_ORDER but with the event view's `commit` column name.
+LWW_ORDER_COMMIT = ("commit", "event_seq", "lang", "content", "op")
+
+SQL_PIPELINE_E2E = f"""
+    SELECT repo, path, lang, content
+    FROM ({SNAP_SQL.format(ev=EV_SQL, where="")})
+"""
+
+QUERIES["pipeline_e2e"] = q_pipeline_e2e
+ORACLES["pipeline_e2e"] = SQL_PIPELINE_E2E
