@@ -1,10 +1,10 @@
 """Filesystem abstraction for the lake backend's driver-side bookkeeping.
 
-HashBucketParquetTable needs five tiny metadata operations outside Spark:
+HashBucketParquetTable needs six tiny metadata operations outside Spark:
 list a partition dir, remove one, existence checks, and read/atomic-write
 of the table metadata JSON. Routing them through this interface keeps the
 backend free of direct POSIX calls, so an object-store deployment (S3/GCS)
-only implements these five methods (list → prefix listing, remove → batch
+only implements these six methods (list → prefix listing, remove → batch
 delete, atomic write → put-then-rename or conditional put) — the Spark
 read/write paths already go through Hadoop FileSystem and need nothing.
 """
