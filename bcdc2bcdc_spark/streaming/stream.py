@@ -98,3 +98,73 @@ def streaming_lineage(
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-key LWW in the Spark state store
+# ---------------------------------------------------------------------------
+
+#: state = the key's current winning event; output = state + the key
+LWW_STATE_SCHEMA = (
+    "commit string, event_seq long, lang string, content string, op string"
+)
+LWW_STATE_OUTPUT_SCHEMA = (
+    "repo string, path string, commit string, event_seq long, "
+    "lang string, content string, op string"
+)
+
+
+def _lww_state_update(key, pdfs, state):
+    """applyInPandasWithState update function: fold the micro-batch's
+    events for one (repo, path) key into the stored winner. Arrow-batched —
+    the only per-key Python is an O(1) tuple compare after a VECTORIZED
+    pandas idxmax-style reduction of the batch."""
+    import pandas as pd
+
+    df = pd.concat(list(pdfs), ignore_index=True)
+    if df.empty:
+        return
+    df = df.sort_values(["commit", "event_seq"], ascending=False, kind="stable")
+    top = df.iloc[0]
+
+    def _s(v):
+        return None if pd.isna(v) else str(v)
+
+    cand = (str(top["commit"]), int(top["event_seq"]), _s(top["lang"]), _s(top["content"]), str(top["op"]))
+    if state.exists:
+        cur = tuple(state.get)
+        if (cand[0], cand[1]) <= (str(cur[0]), int(cur[1])):
+            cand = (str(cur[0]), int(cur[1]), cur[2], cur[3], str(cur[4]))
+    state.update(cand)
+    yield pd.DataFrame(
+        [
+            {
+                "repo": key[0],
+                "path": key[1],
+                "commit": cand[0],
+                "event_seq": cand[1],
+                "lang": cand[2],
+                "content": cand[3],
+                "op": cand[4],
+            }
+        ]
+    )
+
+
+def lww_state_stream(events: DataFrame) -> DataFrame:
+    """Per-key LWW as a CUSTOM STATEFUL streaming operator: the winner per
+    (repo, path) lives in Spark's state store across micro-batches
+    (``applyInPandasWithState``), emitted on every update — the
+    streaming-native alternative to the epoch-batch ``lww_dedup`` when
+    consumers need a continuously maintained current-winner stream rather
+    than per-epoch table merges. State size is O(distinct keys); the
+    shuffle is the groupBy(repo, path) exchange only."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("repo", "path").applyInPandasWithState(
+        _lww_state_update,
+        outputStructType=LWW_STATE_OUTPUT_SCHEMA,
+        stateStructType=LWW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

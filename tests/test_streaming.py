@@ -116,3 +116,54 @@ def test_streaming_lineage_window(spark, tmp_path):
     assert spark.table("lineage_mem").columns == [
         "window_start", "window_end", "repo", "op", "n"
     ]
+
+
+def test_lww_state_stream_matches_batch_lww(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming per-key
+    LWW state across micro-batches converges to the batch lww_dedup winner
+    set over the same events."""
+    from bcdc2bcdc_spark.operators.lww import lww_dedup
+    from bcdc2bcdc_spark.streaming.stream import lww_state_stream
+
+    ev = gen_events(spark, n_events=600, n_keys=150, n_epochs=2, seed=8).cache()
+    events_dir = str(tmp_path / "state_in")
+    for ep in (0, 1):  # two file groups → two micro-batches (state carries)
+        _events_cols(ev.filter(F.col("epoch") == ep)).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    sdf = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(events_dir)
+    q = (
+        lww_state_stream(sdf)
+        .writeStream.format("memory")
+        .queryName("lww_state_mem")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # final state per key = the row with the max (commit, event_seq) among
+    # that key's emissions (update mode re-emits on every batch touch)
+    from pyspark.sql import Window
+
+    emitted = spark.table("lww_state_mem")
+    w = Window.partitionBy("repo", "path").orderBy(
+        F.desc("commit"), F.desc("event_seq")
+    )
+    final = (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    expect = lww_dedup(
+        _events_cols(ev).drop("epoch") if "epoch" in _events_cols(ev).columns else _events_cols(ev),
+        order_cols=("commit", "event_seq"),
+    ).select("repo", "path", "commit", "event_seq", "lang", "content", "op")
+    got = sorted(map(tuple, final.select(*expect.columns).collect()))
+    want = sorted(map(tuple, expect.collect()))
+    assert got == want
+    ev.unpersist()
