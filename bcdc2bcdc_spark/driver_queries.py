@@ -1843,3 +1843,38 @@ SQL_PIPELINE_E2E = f"""
 
 QUERIES["pipeline_e2e"] = q_pipeline_e2e
 ORACLES["pipeline_e2e"] = SQL_PIPELINE_E2E
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the token stream (functions/text.rolling_fingerprint) next to the
+    order-insensitive set fingerprint — both per document."""
+    from bcdc2bcdc_spark.functions.text import rolling_fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint("text").alias("roll_fp"),
+        fingerprint("text").alias("set_fp"),
+    )
+
+
+SQL_ROLLING_FINGERPRINT = f"""
+    SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 0
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+                    t -> CAST((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) AS BIGINT))),
+                  (a, b) -> (a * 1000003 + b) % 2147483647)
+           END AS roll_fp,
+           md5({_NORM_SQL}) AS set_fp
+    FROM (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+"""
+
+QUERIES["rolling_fingerprint"] = q_rolling_fingerprint
+ORACLES["rolling_fingerprint"] = SQL_ROLLING_FINGERPRINT

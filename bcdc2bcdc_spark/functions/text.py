@@ -118,3 +118,24 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def rolling_fingerprint(col: Column | str, base: int = 1000003, mod: int = 2147483647) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash over the token stream:
+    ``h = fold(h·B + t_i  mod M)`` with each token valued by the first two
+    hex nibbles of its md5 (0..255) — ORDER-SENSITIVE, unlike the set-based
+    md5 ``fingerprint``, so it distinguishes permuted documents. Pure
+    column expressions (sequential array fold), portable to the SQL oracle
+    via list_reduce."""
+    toks = tokens(col)
+    hexes = "0123456789abcdef"
+    tv = F.transform(
+        toks,
+        lambda t: (
+            (F.instr(F.lit(hexes), F.substring(F.md5(t), 1, 1)) - 1) * 16
+            + (F.instr(F.lit(hexes), F.substring(F.md5(t), 2, 1)) - 1)
+        ).cast("long"),
+    )
+    return F.aggregate(
+        tv, F.lit(0).cast("long"), lambda acc, v: (acc * base + v) % mod
+    )

@@ -199,3 +199,23 @@ def test_jaccard_max_df_cap_matches_python_oracle(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.5, n=1, max_df=max_df).collect()
     }
     assert got == expected
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from bcdc2bcdc_spark.functions.text import fingerprint, rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["rf"], r["sf"])
+        for r in df.select(
+            "doc_id",
+            rolling_fingerprint("text").alias("rf"),
+            fingerprint("text").alias("sf"),
+        ).collect()
+    }
+    assert rows[1][0] == rows[3][0]          # identical docs agree
+    assert rows[1][0] != rows[2][0]          # permutation changes rolling fp
+    assert rows[1][1] != rows[2][1]          # (set fp differs too: norm keeps order)
