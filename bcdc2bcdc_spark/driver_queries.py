@@ -799,6 +799,96 @@ def _ivf_sql(n_cells: int = 8, n_probe: int = 4, k: int = 5) -> str:
 SQL_ANN_IVF = _ivf_sql()
 
 
+def q_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ONE Lloyd refinement round: sample centroids → assign →
+    per-cell member MEAN (exact DECIMAL(28,12) component sums, so the mean
+    is order-independent and engine-portable) → reassign → probe → top-k.
+    Better recall/cell balance on clustered corpora than the plain sample
+    (asserted in tests/test_ann.py); still fully deterministic, so the
+    whole refined index is mirrored in SQL below."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        k=5,
+        n_cells=8,
+        n_probe=4,
+        lloyd_iters=1,
+    )
+
+
+def _ivf_lloyd_sql(n_cells: int = 8, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB mirror of operators/ann.ivf_topk(lloyd_iters=1): the Lloyd
+    mean uses SUM(CAST(x AS DECIMAL(28,12))) — exact, associative, hence
+    bit-identical to Spark's partial aggregation — cast to DOUBLE before
+    the COUNT(*) division, exactly like lloyd_refine."""
+    cos_vc0 = _COS_SQL.format(a="v.ve", b="ct.centroid")
+    return f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         q AS (SELECT vec_id, ve FROM c WHERE vec_id % 50 = 0),
+         cents0 AS (
+           SELECT rn - 1 AS cell_id, centroid FROM (
+             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn,
+                    ve AS centroid
+             FROM c
+           ) WHERE rn <= {n_cells}
+         ),
+         assigned0 AS (
+           SELECT cv, cell_id FROM (
+             SELECT v.ve AS cv, ct.cell_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY {cos_vc0} DESC, ct.cell_id ASC) AS rk
+             FROM c v CROSS JOIN cents0 ct
+           ) WHERE rk <= 1
+         ),
+         comps AS (
+           SELECT cell_id,
+                  unnest(range(0, len(cv))) AS pos,
+                  unnest(cv) AS comp
+           FROM assigned0
+         ),
+         means AS (
+           SELECT cell_id, pos,
+                  CAST(SUM(CAST(comp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+           FROM comps GROUP BY cell_id, pos
+         ),
+         cents AS (
+           SELECT cell_id, list(m ORDER BY pos) AS centroid
+           FROM means GROUP BY cell_id
+         ),
+         c_cells AS (
+           SELECT neighbor_id, cv, cell_id FROM (
+             SELECT v.vec_id AS neighbor_id, v.ve AS cv, ct.cell_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY {cos_vc0} DESC, ct.cell_id ASC) AS rk
+             FROM c v CROSS JOIN cents ct
+           ) WHERE rk <= 1
+         ),
+         q_cells AS (
+           SELECT query_id, qv, cell_id FROM (
+             SELECT v.vec_id AS query_id, v.ve AS qv, ct.cell_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY {cos_vc0} DESC, ct.cell_id ASC) AS rk
+             FROM q v CROSS JOIN cents ct
+           ) WHERE rk <= {n_probe}
+         ),
+         scored AS (
+           SELECT qc.query_id, cc.neighbor_id,
+                  ROUND({_COS_SQL.format(a="cc.cv", b="qc.qv")}, 6) AS cosine
+           FROM q_cells qc JOIN c_cells cc ON qc.cell_id = cc.cell_id
+           WHERE cc.neighbor_id <> qc.query_id
+         )
+    SELECT DISTINCT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF_LLOYD = _ivf_lloyd_sql()
+
+
 QUERIES.update(
     {
         "text_stats": q_text_stats,
@@ -809,6 +899,7 @@ QUERIES.update(
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_lloyd": q_ann_ivf_lloyd,
     }
 )
 
@@ -822,6 +913,7 @@ ORACLES.update(
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "ann_topk": SQL_ANN_TOPK,
         "ann_ivf": SQL_ANN_IVF,
+        "ann_ivf_lloyd": SQL_ANN_IVF_LLOYD,
     }
 )
 
@@ -1463,7 +1555,7 @@ def q_epoch_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EPOCH_LINEAGE = f"""
     SELECT event_seq % 4 AS epoch, op,
            COUNT(*) AS events_applied,
-           SUM(length(content)) AS bytes
+           CAST(SUM(length(content)) AS BIGINT) AS bytes
     FROM ({EV_SQL}) GROUP BY 1, 2
 """
 
@@ -1786,12 +1878,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256 digests — applies the derived event log in two epochs to an
     empty lake; the final table must equal the INDEPENDENT SQL replay of
     the same log (the reference's replay-convergence contract, end to end
-    through real storage). The result is materialized before the temp
-    lake is removed, so the returned frame is self-contained."""
+    through real storage). The result is written to a session-temp parquet
+    OUTSIDE the removed workdir and returned as a scan — never an O(table)
+    driver collect, so this stays safe at any sf."""
+    import atexit
     import shutil
     import tempfile
-
-    from pyspark.sql import types as T
 
     from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
     from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
@@ -1799,6 +1891,8 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
 
     work = tempfile.mkdtemp(prefix="cdc_contract_")
+    out = tempfile.mkdtemp(prefix="cdc_contract_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     try:
         ev = cdc_events(spark, sf_dir)
         half = _half_seq_dir(spark, sf_dir)
@@ -1814,21 +1908,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=LWW_ORDER_COMMIT,
         )
         pipe.run(ev)
-        rows = [
-            (r["repo"], r["path"], r["lang"], r["content"])
-            for r in table.read().select("repo", "path", "lang", "content").collect()
-        ]
+        (
+            table.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    schema = T.StructType(
-        [
-            T.StructField("repo", T.StringType()),
-            T.StructField("path", T.StringType()),
-            T.StructField("lang", T.StringType()),
-            T.StructField("content", T.StringType()),
-        ]
-    )
-    return spark.createDataFrame(rows, schema)
+    return spark.read.parquet(f"{out}/result")
 
 
 #: pipeline LWW order: the derived event_seq is not unique (duplicate

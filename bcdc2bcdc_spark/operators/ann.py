@@ -73,20 +73,92 @@ def _centroids(corpus: DataFrame, n_cells: int, vec_col: str, id_col: str) -> Da
     )
 
 
+def _centroid_literal(centroids: DataFrame):
+    """Collect the (bounded: n_cells rows, already driver-merged by
+    ``_centroids``' TakeOrderedAndProject) centroid frame into ONE inline
+    array-of-structs literal. Bounded metadata collect, same class as the
+    lake's touched-bucket list — not a data collect."""
+    rows = centroids.orderBy("cell_id").collect()
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell_id"])).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("centroid"),
+            )
+            for r in rows
+        ]
+    )
+
+
 def _assign_cells(
     vecs: DataFrame, centroids: DataFrame, vec_alias: str, n_best: int
 ) -> DataFrame:
-    """Attach the n_best nearest cell ids to each vector (broadcast join +
-    windowed argmin — centroids are tiny by construction)."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine_expr(F.col(vec_alias), F.col("centroid"))
+    """Attach the n_best nearest cell ids to each vector — MAP-SIDE.
+
+    The centroids are inlined as an array literal and each row computes its
+    own per-cell cosines + top-n_best with ``transform``/``array_sort``/
+    ``slice``: ZERO shuffle on the vector side (the former formulation
+    pushed corpus×n_cells rows through a per-vector window exchange).
+    Deterministic tie-break identical to the old window (cosine DESC,
+    cell_id ASC) via an explicit sort comparator — no sign-flip tricks, so
+    -0.0/0.0 ordering can never diverge from the SQL oracle's ORDER BY."""
+    cent = _centroid_literal(centroids)
+    scored = F.transform(
+        cent,
+        lambda c: F.struct(
+            cosine_expr(F.col(vec_alias), c["centroid"]).alias("sim"),
+            c["cell_id"].alias("cell_id"),
+        ),
     )
-    w = Window.partitionBy(vecs.columns[0]).orderBy(F.desc("_sim"), F.asc("cell_id"))
+
+    def _cmp(a, b):
+        return (
+            F.when(a["sim"] > b["sim"], F.lit(-1))
+            .when(a["sim"] < b["sim"], F.lit(1))
+            .when(a["cell_id"] < b["cell_id"], F.lit(-1))
+            .when(a["cell_id"] > b["cell_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    best = F.slice(F.array_sort(scored, _cmp), 1, n_best)
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_best)
-        .drop("centroid", "_sim", "_rk")
+        vecs.withColumn("_best", F.explode(best))
+        .withColumn("cell_id", F.col("_best")["cell_id"])
+        .drop("_best")
     )
+
+
+def lloyd_refine(
+    vecs: DataFrame, centroids: DataFrame, iters: int, vec_alias: str = "cv"
+) -> DataFrame:
+    """0..iters rounds of Lloyd's k-means over the corpus: assign every
+    vector to its nearest centroid (map-side, zero shuffle), then replace
+    each non-empty cell's centroid with the member MEAN.
+
+    The mean is computed with exact DECIMAL(28,12) component sums —
+    associative, therefore order-independent and bit-identical between
+    Spark's partial aggregation and any SQL oracle — then cast back to
+    double before the count division. Cells that lose all members drop out
+    (their id disappears); surviving cell ids are stable. iters=0 returns
+    the input unchanged (the pre-refinement deterministic sample)."""
+    cents = centroids
+    for _ in range(iters):
+        assigned = _assign_cells(vecs, cents, vec_alias, 1)
+        comps = assigned.select(
+            "cell_id", F.posexplode(F.col(vec_alias)).alias("pos", "comp")
+        )
+        means = comps.groupBy("cell_id", "pos").agg(
+            (
+                F.sum(F.col("comp").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    return cents
 
 
 def ivf_topk(
@@ -97,9 +169,13 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: corpus assigned to its nearest cell, queries probe
-    their n_probe nearest cells, exact cosine within probed cells only."""
+    their n_probe nearest cells, exact cosine within probed cells only.
+    ``lloyd_iters`` > 0 refines the deterministic sample centroids with
+    that many k-means rounds (better recall/cell balance on clustered
+    corpora); 0 keeps the plain sample."""
     cents = _centroids(corpus, n_cells, vec_col, id_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
@@ -107,6 +183,8 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
+    if lloyd_iters:
+        cents = lloyd_refine(c, cents, lloyd_iters, "cv")
     c_cells = _assign_cells(c, cents, "cv", 1)
     q_cells = _assign_cells(q, cents, "qv", n_probe)
     scored = (

@@ -140,6 +140,35 @@ def test_brute_force_topk_and_ivf_recall(spark, emb):
     exact.unpersist()
 
 
+def test_ivf_lloyd_improves_recall_on_clustered_corpus(spark):
+    """One Lloyd round moves the sampled centroids to the cluster means —
+    recall@5 with n_probe=1 goes 0.87 → 1.0 on a 4-cluster fixture where
+    the deterministic md5 sample lands centroids unevenly."""
+    import hashlib
+
+    def jit(i: int, d: int) -> float:
+        return (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) % 1000) / 1000.0 - 0.5
+
+    rows = []
+    for i in range(200):
+        c = i % 4
+        vec = [
+            (3.0 if d == 2 * c else (1.5 if d == 2 * c + 1 else 0.0)) + 0.25 * jit(i, d)
+            for d in range(8)
+        ]
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = brute_force_topk(emb, queries, k=5).cache()
+    plain = ann_recall(exact, ivf_topk(emb, queries, k=5, n_cells=4, n_probe=1))
+    lloyd = ann_recall(
+        exact, ivf_topk(emb, queries, k=5, n_cells=4, n_probe=1, lloyd_iters=1)
+    )
+    exact.unpersist()
+    assert lloyd > plain
+    assert lloyd == 1.0
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, n=48)
     feats = extract_features(partition_by_cost(media))

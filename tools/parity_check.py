@@ -2,6 +2,11 @@
 __spark_entry__ query on Spark AND its oracle on DuckDB at a given sf,
 compare row count, column names, and an order-insensitive value hash.
 
+Both sides go through the pandas boundary (Spark .toPandas(), DuckDB
+.fetchdf()) exactly like the driver, so dtype divergences that only
+appear there (e.g. DuckDB HUGEINT -> float64 while Spark stays int64)
+fail HERE before the driver ever sees them.
+
 Usage: python tools/parity_check.py [sf_dir] [query ...]
 """
 
@@ -14,6 +19,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from bcdc2bcdc_spark.session import get_spark
@@ -40,6 +47,32 @@ def _cell(v: object) -> str:
     return str(v)
 
 
+def _pandas_rows(df: pd.DataFrame) -> list[tuple]:
+    """Convert a pandas frame to plain-Python row tuples, preserving the
+    dtype the pandas boundary chose (float64 stays float -> repr '3.0')."""
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(_plain(v) for v in row))
+    return out
+
+
+def _plain(v: object) -> object:
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return [_plain(x) for x in v]
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    return v
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -52,14 +85,19 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            srows = _pandas_rows(spdf)
+            scols = list(spdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:24s} spark error: {e}")
             failures += 1
@@ -68,9 +106,9 @@ def main() -> int:
             print(f"weak  {name:24s} rows={len(srows)} (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).fetchdf()
+            ocols = list(opdf.columns)
+            orows = _pandas_rows(opdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:24s} duckdb error: {e}")
             failures += 1
