@@ -317,7 +317,14 @@ def embedding_near_dups(
     Exact cosine (double, sequential fold) filters candidates.
     """
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        # dim inference triggers one bounded Spark job at plan-construction
+        # time; pass dim explicitly to keep construction lazy (or when the
+        # input may be empty).
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            schema = f"a {df.schema[id_col].dataType.simpleString()}, b {df.schema[id_col].dataType.simpleString()}, cosine double"
+            return df.sparkSession.createDataFrame([], schema)
+        dim = first["d"]
     planes = hyperplane_signs(n_bands * band_bits, dim)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col), v.alias("v"))

@@ -105,8 +105,18 @@ class MultiTablePipeline:
         by_name = {e.name: e for e in self.entities}
         for rm in entity.fk_remaps:
             parent_table = by_name[rm.parent].pipeline.table
-            mapping = parent_table.read().select(
-                F.col(rm.map_from).alias("_fk_from"), F.col(rm.map_to).alias("_fk_to")
+            # The parent table is unique on its BUSINESS key, not necessarily
+            # on map_from: collapse duplicate map_from values to the MIN
+            # map_to so the join can never fan a child event into duplicate
+            # rows (which lww_dedup would then tie-break arbitrarily).
+            mapping = (
+                parent_table.read()
+                .select(
+                    F.col(rm.map_from).alias("_fk_from"),
+                    F.col(rm.map_to).alias("_fk_to"),
+                )
+                .groupBy("_fk_from")
+                .agg(F.min("_fk_to").alias("_fk_to"))
             )
             events = (
                 events.join(
@@ -129,10 +139,21 @@ class MultiTablePipeline:
         missing = [e.name for e in self.entities if e.name not in events_by_entity]
         if missing:
             raise ValueError(f"no event frame for entities: {missing}")
-        epochs: set[int] = set()
+        # ONE count job per entity up front replaces the former per-(entity,
+        # epoch) isEmpty() probe — the epoch loop below launches zero extra
+        # Spark jobs deciding what to skip.
+        counts: dict[str, dict[int, int]] = {}
         for e in self.entities:
-            rows = events_by_entity[e.name].select(epoch_col).distinct().collect()
-            epochs.update(int(r[epoch_col]) for r in rows)
+            rows = (
+                events_by_entity[e.name]
+                .groupBy(epoch_col)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            counts[e.name] = {int(r[epoch_col]): int(r["_n"]) for r in rows}
+        epochs: set[int] = set()
+        for per_entity in counts.values():
+            epochs.update(per_entity)
 
         results: dict[str, dict[int, bool]] = {e.name: {} for e in self.entities}
         for e in self._order:
@@ -140,11 +161,11 @@ class MultiTablePipeline:
         try:
             for ep in sorted(epochs):
                 for e in self._order:
+                    if not counts[e.name].get(ep):
+                        continue
                     batch = events_by_entity[e.name].filter(
                         F.col(epoch_col) == ep
                     ).drop(epoch_col)
-                    if batch.isEmpty():
-                        continue
                     remapped = self._remap(e, batch)
                     results[e.name][ep] = e.pipeline.apply_epoch(remapped, ep)
         finally:

@@ -45,6 +45,14 @@ class ProtectedTableError(RuntimeError):
     """Raised on any mutation of a write-guarded table (S10 analog)."""
 
 
+class ConcurrentWriteError(RuntimeError):
+    """The manifest advanced between this writer's base read and its commit
+    attempt (another writer committed first). The losing writer's staged
+    generation is left unreferenced — the table keeps the winner's state
+    intact — and is swept after the next successful commit. Retry by
+    re-running the upsert against the new table state."""
+
+
 def _bucket_expr(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
@@ -69,6 +77,12 @@ class HashBucketParquetTable:
     ``n_buckets`` sizes the upsert read amplification: a change set touching
     k distinct buckets rewrites k/n_buckets of the table. At 100 TB pick
     n_buckets so one bucket ≈ a few GB (e.g. 8192); at test scale 16.
+
+    Concurrent writers: upserts validate at commit that the manifest has
+    not advanced since their base read and abort with
+    ``ConcurrentWriteError`` when it has (optimistic concurrency, one
+    winner). Engine writers (CDCPipeline) additionally serialize via the
+    checkpoint writer lock.
     """
 
     spark: SparkSession
@@ -329,10 +343,21 @@ class HashBucketParquetTable:
         ``touched`` may pass a precomputed (superset of the) touched-bucket
         id set, saving this method its own discovery job — the change-set
         plan (canonicalize + LWW dedup) then executes exactly once.
+
+        Concurrency — OPTIMISTIC, single-winner: the commit re-reads the
+        manifest and ABORTS with ``ConcurrentWriteError`` if ``commit_seq``
+        advanced since this upsert's base read (Iceberg's
+        validate-and-retry model), so a racing writer can never merge
+        against a stale manifest and silently drop the other's rows. The
+        check-then-rename pair is not itself mutually excluded — two
+        commits inside that millisecond window still race — so writers
+        that must never retry should serialize externally, as CDCPipeline
+        does via the checkpoint writer lock.
         """
         self._check_writable()
         changes = self._evolve_and_reconcile(changes)
         meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
         persisted = list(meta.get("compare_cols", self.compare_cols))
         if compare_cols is None:
             compare_cols = persisted
@@ -381,20 +406,38 @@ class HashBucketParquetTable:
         ).withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
         # No caching: recomputing the plan is cheaper than materializing it,
         # and at scale cache memory is better spent on shuffle.
-        self._commit_generation(merged, touched)
+        self._commit_generation(merged, touched, expected_seq=base_seq)
 
-    def _commit_generation(self, merged: DataFrame, touched: Sequence[int]) -> None:
-        """Stage → swap → sweep. The manifest rewrite is the atomic commit
-        point; a touched bucket with no staged output was emptied and
-        simply leaves the map. Generations that lost their last reference
-        RETIRE at this commit's sequence number and are physically deleted
-        only after ``retain_generations`` further commits (snapshot
+    def _commit_generation(
+        self,
+        merged: DataFrame,
+        touched: Sequence[int],
+        expected_seq: int | None = None,
+    ) -> None:
+        """Stage → validate → swap → sweep. The manifest rewrite is the
+        atomic commit point; a touched bucket with no staged output was
+        emptied and simply leaves the map. Generations that lost their last
+        reference RETIRE at this commit's sequence number and are physically
+        deleted only after ``retain_generations`` further commits (snapshot
         retention), so readers pinned to a recent manifest stay valid.
         A partially superseded generation keeps its dead bucket dirs until
         it fully retires — bounded dead space, reclaimed by later commits
-        or compact()."""
+        or compact().
+
+        ``expected_seq`` arms the optimistic-concurrency check: if the
+        manifest's commit_seq no longer equals it, another writer committed
+        since the caller's base read and this commit ABORTS
+        (``ConcurrentWriteError``) leaving the staged generation
+        unreferenced — the winner's table state is untouched."""
         gen, written = self._write_generation(merged)
         meta = self._meta()
+        if expected_seq is not None and int(meta.get("commit_seq", 0)) != expected_seq:
+            raise ConcurrentWriteError(
+                f"commit_seq advanced {expected_seq} → "
+                f"{int(meta.get('commit_seq', 0))} during this upsert; "
+                "another writer committed first — re-run against the new "
+                f"state (staged generation {gen} left for the next sweep)"
+            )
         bmap = meta.setdefault("buckets", {})
         before_refs = set(bmap.values())
         for b in touched:

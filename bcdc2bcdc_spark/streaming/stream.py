@@ -114,57 +114,114 @@ LWW_STATE_OUTPUT_SCHEMA = (
 )
 
 
-def _lww_state_update(key, pdfs, state):
-    """applyInPandasWithState update function: fold the micro-batch's
-    events for one (repo, path) key into the stored winner. Arrow-batched —
-    the only per-key Python is an O(1) tuple compare after a VECTORIZED
-    pandas idxmax-style reduction of the batch."""
-    import pandas as pd
+#: The streaming winner order — the SAME total order the batch path's
+#: LWW_ORDER extends over the payload (commit, event_seq can tie on derived
+#: event logs), so streaming and batch winners agree on ties.
+LWW_STATE_ORDER = ("commit", "event_seq", "lang", "content", "op")
 
-    df = pd.concat(list(pdfs), ignore_index=True)
-    if df.empty:
-        return
-    df = df.sort_values(["commit", "event_seq"], ascending=False, kind="stable")
-    top = df.iloc[0]
 
-    def _s(v):
-        return None if pd.isna(v) else str(v)
-
-    cand = (str(top["commit"]), int(top["event_seq"]), _s(top["lang"]), _s(top["content"]), str(top["op"]))
-    if state.exists:
-        cur = tuple(state.get)
-        if (cand[0], cand[1]) <= (str(cur[0]), int(cur[1])):
-            cand = (str(cur[0]), int(cur[1]), cur[2], cur[3], str(cur[4]))
-    state.update(cand)
-    yield pd.DataFrame(
-        [
-            {
-                "repo": key[0],
-                "path": key[1],
-                "commit": cand[0],
-                "event_seq": cand[1],
-                "lang": cand[2],
-                "content": cand[3],
-                "op": cand[4],
-            }
-        ]
+def _ord_key(commit, event_seq, lang, content, op):
+    """Null-safe comparison key mirroring Spark's desc_nulls_last over
+    LWW_STATE_ORDER: a NULL ranks below every non-null at its position."""
+    return (
+        str(commit),
+        int(event_seq),
+        lang is not None,
+        "" if lang is None else str(lang),
+        content is not None,
+        "" if content is None else str(content),
+        str(op),
     )
 
 
-def lww_state_stream(events: DataFrame) -> DataFrame:
+def _make_lww_state_update(ttl_ms: int | None):
+    """Build the applyInPandasWithState update function, closing over the
+    optional processing-time TTL."""
+
+    def _lww_state_update(key, pdfs, state):
+        """Fold the micro-batch's events for one (repo, path) key into the
+        stored winner. Arrow-batched — the only per-key Python is an O(1)
+        tuple compare after a vectorized pandas reduction of the batch.
+        A timed-out key is EVICTED silently (no emission)."""
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        df = pd.concat(list(pdfs), ignore_index=True)
+        if df.empty:
+            return
+        df = df.sort_values(
+            list(LWW_STATE_ORDER), ascending=False, kind="stable", na_position="last"
+        )
+        top = df.iloc[0]
+
+        def _s(v):
+            return None if pd.isna(v) else str(v)
+
+        cand = (
+            str(top["commit"]),
+            int(top["event_seq"]),
+            _s(top["lang"]),
+            _s(top["content"]),
+            str(top["op"]),
+        )
+        if state.exists:
+            raw = tuple(state.get)
+            cur = (str(raw[0]), int(raw[1]), raw[2], raw[3], str(raw[4]))
+            if _ord_key(*cand) <= _ord_key(*cur):
+                cand = cur
+        state.update(cand)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    "repo": key[0],
+                    "path": key[1],
+                    "commit": cand[0],
+                    "event_seq": cand[1],
+                    "lang": cand[2],
+                    "content": cand[3],
+                    "op": cand[4],
+                }
+            ]
+        )
+
+    return _lww_state_update
+
+
+def lww_state_stream(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Per-key LWW as a CUSTOM STATEFUL streaming operator: the winner per
     (repo, path) lives in Spark's state store across micro-batches
     (``applyInPandasWithState``), emitted on every update — the
     streaming-native alternative to the epoch-batch ``lww_dedup`` when
     consumers need a continuously maintained current-winner stream rather
-    than per-epoch table merges. State size is O(distinct keys); the
-    shuffle is the groupBy(repo, path) exchange only."""
+    than per-epoch table merges. The shuffle is the groupBy(repo, path)
+    exchange only.
+
+    **State size / eviction.** Without a TTL, state is O(distinct keys)
+    forever — unbounded on an open key universe. ``ttl_ms`` arms a
+    processing-time timeout per key, re-set on every update: a key idle for
+    ttl_ms is evicted from the state store (silently — no tombstone
+    emission). Re-emission semantics after eviction: the key's next event
+    RE-SEEDS the state, so the newly emitted "winner" reflects only events
+    after eviction — a late, stale event can temporarily regress the
+    emitted winner until a newer event (or a batch reconciliation against
+    the lake, which re-resolves with the full LWW order) supersedes it.
+    Size the TTL to dominate the source's max replay/lateness window."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("repo", "path").applyInPandasWithState(
-        _lww_state_update,
+        _make_lww_state_update(ttl_ms),
         outputStructType=LWW_STATE_OUTPUT_SCHEMA,
         stateStructType=LWW_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -121,6 +121,12 @@ def test_embedding_near_dups_self_consistency(spark, emb):
     assert any({p["a"], p["b"]} == {emb.first()["vec_id"], 9999} for p in pairs)
 
 
+def test_embedding_near_dups_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dups(empty)
+    assert out.columns == ["a", "b", "cosine"] and out.count() == 0
+
+
 def test_brute_force_topk_and_ivf_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     exact = brute_force_topk(emb, queries, k=5).cache()

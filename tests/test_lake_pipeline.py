@@ -79,6 +79,53 @@ def test_lake_delete_can_empty_a_bucket(spark, tmp_table):
     assert tmp_table.read().count() == 0  # stale-partition bug regression
 
 
+def test_concurrent_upsert_loses_cleanly(spark, tmp_table):
+    """Optimistic concurrency: a writer whose base read predates another
+    writer's commit ABORTS at its own commit (ConcurrentWriteError) instead
+    of merging against the stale manifest and silently dropping the
+    winner's rows; the winner's state survives and the loser's staged
+    generation is swept at the next commit."""
+    from bcdc2bcdc_spark.sources.lake import ConcurrentWriteError
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=200, seed=13))
+    tmp_table.init(base)
+
+    def _change(content, seq):
+        return (
+            tmp_table.read()
+            .limit(1)
+            .withColumn("op", F.lit("UPDATE"))
+            .withColumn("content", F.lit(content))
+            .withColumn("event_seq", F.lit(seq).cast("long"))
+        )
+
+    winner = HashBucketParquetTable(spark, tmp_table.path, n_buckets=8)
+    orig_stage = tmp_table._write_generation
+
+    def _interleaved_stage(df):
+        out = orig_stage(df)
+        # the OTHER writer commits while this writer is still staging
+        winner.upsert(_change("winner-content", 2))
+        return out
+
+    tmp_table._write_generation = _interleaved_stage
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            tmp_table.upsert(_change("loser-content", 1))
+    finally:
+        tmp_table._write_generation = orig_stage
+
+    contents = {r["content"] for r in tmp_table.read().collect()}
+    assert "winner-content" in contents and "loser-content" not in contents
+    # the loser's orphaned staging is swept by the next successful commit
+    tmp_table.upsert(_change("after-content", 3))
+    live = set(tmp_table._meta()["buckets"].values()) | set(
+        tmp_table._meta().get("retired", {})
+    )
+    on_disk = set(tmp_table.fs.list_subdirs(tmp_table.data_path))
+    assert on_disk <= live
+
+
 def test_write_guard(spark, tmp_path):
     t = HashBucketParquetTable(spark, str(tmp_path / "guarded"), protected=True)
     with pytest.raises(ProtectedTableError):

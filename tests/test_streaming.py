@@ -118,6 +118,67 @@ def test_streaming_lineage_window(spark, tmp_path):
     ]
 
 
+def test_lww_state_ttl_evicts_and_rebuilds(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: a key idle past ttl_ms is dropped
+    from the state store; its next event re-seeds the state — proven by a
+    later LOWER-ordered event becoming the emitted winner (with live state
+    it would have lost the O(1) compare and the old winner re-emitted)."""
+    import time
+
+    from bcdc2bcdc_spark.streaming.stream import lww_state_stream
+
+    events_dir = str(tmp_path / "ttl_in")
+    os.makedirs(events_dir, exist_ok=True)
+
+    def _write(rows):
+        data = [tuple(r[f.name] for f in EVENTS_SCHEMA.fields) for r in rows]
+        spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    def _ev(repo, path, commit, seq, content):
+        return {
+            "repo": repo, "path": path, "commit": commit, "event_seq": seq,
+            "lang": "py", "content": content, "op": "UPDATE",
+        }
+
+    emitted = []
+
+    def _collect(bdf, _bid):
+        emitted.extend(
+            (r["repo"], r["commit"], r["content"]) for r in bdf.collect()
+        )
+
+    # ONE continuous query (500 ms triggers): processing-time timeouts fire
+    # in the idle batches between file drops, well past the 200 ms TTL.
+    _write([_ev("ra", "pa", "c9", 9, "winner"), _ev("rb", "pb", "c1", 1, "b1")])
+    sdf = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    q = (
+        lww_state_stream(sdf, ttl_ms=200)
+        .writeStream.outputMode("update")
+        .foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(4)  # A idles past its TTL → evicted
+        _write([_ev("rb", "pb", "c2", 2, "b2")])
+        time.sleep(4)
+        _write([_ev("ra", "pa", "c3", 3, "stale")])  # STALE: c3 < c9
+        time.sleep(4)
+    finally:
+        q.stop()
+
+    a_rows = {(c, t) for (repo, c, t) in emitted if repo == "ra"}
+    # eviction happened: the stale event re-seeded state and was emitted as
+    # winner; live state would have re-emitted ('c9', 'winner') instead
+    assert ("c3", "stale") in a_rows
+    assert ("c9", "winner") in a_rows  # the original batch-0 emission
+    b_rows = [(c, t) for (repo, c, t) in emitted if repo == "rb"]
+    assert b_rows[-1] == ("c2", "b2")
+
+
 def test_lww_state_stream_matches_batch_lww(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): streaming per-key
     LWW state across micro-batches converges to the batch lww_dedup winner
