@@ -1966,3 +1966,103 @@ SQL_ROLLING_FINGERPRINT = f"""
 
 QUERIES["rolling_fingerprint"] = q_rolling_fingerprint
 ORACLES["rolling_fingerprint"] = SQL_ROLLING_FINGERPRINT
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing — hard-signal rows (binary column → Arrow mapInPandas)
+# ---------------------------------------------------------------------------
+
+_KIND = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+def _kind_expr():
+    return (
+        F.when(F.pmod(F.col("doc_id"), 3) == 0, F.lit("image"))
+        .when(F.pmod(F.col("doc_id"), 3) == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, end to end as a hard signal: documents
+    become an opaque-binary media table (payload = utf-8 bytes of text),
+    flow through the REAL Arrow-batched mapInPandas extractor
+    (multimodal.extract_features — sha256 + deterministic fake-decode
+    feature; the decode stub is the documented stand-in for PIL/ffmpeg),
+    and the first four feature bytes are recovered exactly
+    (round(f*255) undoes the /255.0 — integer-exact, no float parity
+    risk). The oracle reconstructs every value from sha256 directly."""
+    from bcdc2bcdc_spark.multimodal import extract_features
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        _kind_expr().alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    feats = extract_features(media, dim=8)
+    sel = [F.col("media_id"), F.col("kind"), F.col("n_bytes"), F.col("sha256")]
+    for i in range(4):
+        sel.append(
+            F.round(F.element_at("feature", i + 1) * 255)
+            .cast("int")
+            .alias(f"f{i}")
+        )
+    return feats.select(*sel)
+
+
+def _hexbyte_sql(h: str, i: int) -> str:
+    """SQL for byte i (0-based) of a hex digest string expression."""
+    return (
+        f"CAST((strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1) AS INTEGER)"
+    )
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+    SELECT media_id, kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           {", ".join(_hexbyte_sql("sha256(text || kind)", i) + f" AS f{i}" for i in range(4))}
+    FROM (
+      SELECT doc_id AS media_id, {_KIND} AS kind, text FROM documents
+    )
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (multimodal.frame_sample_stub): one row
+    per sampled timestamp per video — the real sequence+explode plumbing a
+    decoder attaches frames to, with a deterministic duration derived from
+    doc_id (≥1 so both engines agree on the zero-length edge)."""
+    from bcdc2bcdc_spark.multimodal import frame_sample_stub
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        _kind_expr().alias("kind"),
+        (F.pmod(F.col("doc_id") * 37, 60000) + 1).alias("duration_ms"),
+    )
+    return frame_sample_stub(media, every_ms=7000)
+
+
+SQL_MULTIMODAL_FRAMES = """
+    SELECT media_id, CAST(unnest(range(0, duration_ms, 7000)) AS BIGINT) AS frame_ts_ms
+    FROM (
+      SELECT doc_id AS media_id, (doc_id * 37) % 60000 + 1 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+"""
+
+QUERIES.update(
+    {
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+    }
+)
+ORACLES.update(
+    {
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    }
+)

@@ -76,9 +76,11 @@ def _centroids(corpus: DataFrame, n_cells: int, vec_col: str, id_col: str) -> Da
 def _centroid_literal(centroids: DataFrame):
     """Collect the (bounded: n_cells rows, already driver-merged by
     ``_centroids``' TakeOrderedAndProject) centroid frame into ONE inline
-    array-of-structs literal. Bounded metadata collect, same class as the
-    lake's touched-bucket list — not a data collect."""
+    array-of-structs literal (None when empty). Bounded metadata collect,
+    same class as the lake's touched-bucket list — not a data collect."""
     rows = centroids.orderBy("cell_id").collect()
+    if not rows:
+        return None
     return F.array(
         *[
             F.struct(
@@ -101,8 +103,12 @@ def _assign_cells(
     pushed corpus×n_cells rows through a per-vector window exchange).
     Deterministic tie-break identical to the old window (cosine DESC,
     cell_id ASC) via an explicit sort comparator — no sign-flip tricks, so
-    -0.0/0.0 ordering can never diverge from the SQL oracle's ORDER BY."""
+    -0.0/0.0 ordering can never diverge from the SQL oracle's ORDER BY.
+    An empty centroid set (empty corpus) assigns nothing — the result is
+    an empty frame with the vecs schema + cell_id."""
     cent = _centroid_literal(centroids)
+    if cent is None:
+        return vecs.limit(0).withColumn("cell_id", F.lit(0))
     scored = F.transform(
         cent,
         lambda c: F.struct(

@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "fk_remap",
     "agg_pricing",
     "topk_customers",
+    # training-data operators (documents/embeddings are small at every sf —
+    # these time the operator constant factors, not data volume)
+    "dedup_minhash",
+    "ann_ivf",
+    "text_stats",
 ]
 
 

@@ -127,6 +127,13 @@ def test_embedding_near_dups_empty_corpus(spark):
     assert out.columns == ["a", "b", "cosine"] and out.count() == 0
 
 
+def test_ivf_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = ivf_topk(empty, empty, k=3, n_cells=4)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+
+
 def test_brute_force_topk_and_ivf_recall(spark, emb):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     exact = brute_force_topk(emb, queries, k=5).cache()

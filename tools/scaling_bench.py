@@ -73,16 +73,28 @@ def _cooldown() -> None:
     __import__("time").sleep(10)
 
 
-def run_at(cores: int, workdir: str, zpath: str, repeats: int = 1) -> dict:
-    """Best-of-``repeats`` at one parallelism (shared/noisy sandbox: the
-    MAX throughput is the least-contended measurement of the same
-    deterministic job; final_rows must agree across repeats)."""
-    best: dict | None = None
+def run_all(levels, workdir: str, zpath: str, repeats: int = 1) -> dict:
+    """Best-of-``repeats`` per parallelism, with the repeats INTERLEAVED
+    across levels (2,8,32, 2,8,32, ...) rather than consecutive per level:
+    this box's external load swings on a ~minute scale, and consecutive
+    repeats let one slow phase hit a single level's both attempts while
+    another level samples only quiet minutes — which skews the efficiency
+    ratio. Interleaving makes every level sample every machine phase.
+    The MAX throughput per level is the least-contended measurement of the
+    same deterministic job; final_rows must agree across repeats. Each
+    attempt records the 1-min loadavg seen just before launch."""
+    best: dict[int, dict] = {}
     for i in range(repeats):
-        _cooldown()
-        r = _run_once(cores, workdir, zpath, attempt=i)
-        if best is None or r["events_per_sec"] > best["events_per_sec"]:
-            best = r
+        for cores in levels:
+            _cooldown()
+            try:
+                load1 = open("/proc/loadavg").read().split()[0]
+            except OSError:
+                load1 = "?"
+            r = _run_once(cores, workdir, zpath, attempt=i)
+            r["loadavg_before"] = load1
+            if cores not in best or r["events_per_sec"] > best[cores]["events_per_sec"]:
+                best[cores] = r
     return best
 
 
@@ -148,7 +160,7 @@ def main() -> None:
         ceil = cpu_ceiling()
         gen_input(workdir, n_events)
         zpath = make_zip(workdir)
-        runs = {c: run_at(c, workdir, zpath, repeats=repeats) for c in (2, 8, 32)}
+        runs = run_all((2, 8, 32), workdir, zpath, repeats=repeats)
         tput = {c: runs[c]["events_per_sec"] for c in runs}
         eff_2_8 = tput[8] / (4 * tput[2])
         eff_8_32 = tput[32] / (4 * tput[8])
@@ -164,6 +176,7 @@ def main() -> None:
             "cpu_ceiling_8_to_32": round(ceil_8_32, 3),
             "relative_eff_2_to_8": round(eff_2_8 / ceil_2_8, 3),
             "final_rows_equal": len({runs[c]["final_rows"] for c in runs}) == 1,
+            "loadavg_before_best_leg": {c: runs[c].get("loadavg_before") for c in runs},
         }
         os.makedirs(os.path.dirname(out_md), exist_ok=True)
         with open(out_md, "w") as fh:
