@@ -77,19 +77,33 @@ def _centroid_literal(centroids: DataFrame):
     """Collect the (bounded: n_cells rows, already driver-merged by
     ``_centroids``' TakeOrderedAndProject) centroid frame into ONE inline
     array-of-structs literal (None when empty). Bounded metadata collect,
-    same class as the lake's touched-bucket list — not a data collect."""
+    same class as the lake's touched-bucket list — not a data collect.
+
+    Each entry carries its PRECOMPUTED norm: Python's sequential
+    ``acc += x*x`` + ``math.sqrt`` performs the exact IEEE-double op
+    sequence of the engine's aggregate fold (and of the SQL oracle's
+    sqrt(list_dot_product(c, c))), so inlining the norm as a literal is
+    bit-identical to recomputing it per cell — it just stops the fold
+    from running n_cells times per vector."""
+    import math
+
     rows = centroids.orderBy("cell_id").collect()
     if not rows:
         return None
-    return F.array(
-        *[
+    entries = []
+    for r in rows:
+        vec = [float(x) for x in r["centroid"]]
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        entries.append(
             F.struct(
                 F.lit(int(r["cell_id"])).alias("cell_id"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("centroid"),
+                F.array(*[F.lit(x) for x in vec]).alias("centroid"),
+                F.lit(math.sqrt(acc)).alias("norm"),
             )
-            for r in rows
-        ]
-    )
+        )
+    return F.array(*entries)
 
 
 def _assign_cells(
@@ -109,10 +123,24 @@ def _assign_cells(
     cent = _centroid_literal(centroids)
     if cent is None:
         return vecs.limit(0).withColumn("cell_id", F.lit(0))
+    # One norm fold per VECTOR (not per vector×cell); the centroid norms are
+    # literals. cosine = dot / (vnorm * cnorm) — the same op sequence as
+    # cosine_expr, so values stay bit-identical to the SQL oracle.
+    v = F.col(vec_alias)
+    vecs_n = vecs.withColumn(
+        "_vnorm", F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    )
     scored = F.transform(
         cent,
         lambda c: F.struct(
-            cosine_expr(F.col(vec_alias), c["centroid"]).alias("sim"),
+            (
+                F.aggregate(
+                    F.zip_with(v, c["centroid"], lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("_vnorm") * c["norm"])
+            ).alias("sim"),
             c["cell_id"].alias("cell_id"),
         ),
     )
@@ -128,9 +156,9 @@ def _assign_cells(
 
     best = F.slice(F.array_sort(scored, _cmp), 1, n_best)
     return (
-        vecs.withColumn("_best", F.explode(best))
+        vecs_n.withColumn("_best", F.explode(best))
         .withColumn("cell_id", F.col("_best")["cell_id"])
-        .drop("_best")
+        .drop("_best", "_vnorm")
     )
 
 
