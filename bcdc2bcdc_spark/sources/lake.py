@@ -247,7 +247,8 @@ class HashBucketParquetTable:
         construction — no partition discovery, no schema inference, and a
         fully-deleted table (empty map) reads as empty. ``_bucket`` is
         recomputed from the keys (deterministic), never parsed from paths."""
-        bmap = self._meta().get("buckets", {})
+        meta = self._meta()
+        bmap = meta.get("buckets", {})
         items = (
             bmap.items()
             if buckets is None
@@ -258,7 +259,9 @@ class HashBucketParquetTable:
             df = self.spark.createDataFrame([], self._file_schema())
         else:
             df = self.spark.read.schema(self._file_schema()).parquet(*dirs)
-        return df.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
+        return df.withColumn(
+            "_bucket", _bucket_expr(self.key_cols, self._n_buckets(meta))
+        )
 
     def read(self) -> DataFrame:
         return self._read_raw().drop("_bucket", "_digest")
@@ -300,11 +303,20 @@ class HashBucketParquetTable:
             return self.spark.createDataFrame([], schema).drop("_digest")
         return self.spark.read.schema(schema).parquet(*dirs).drop("_digest")
 
+    def _n_buckets(self, meta: dict | None = None) -> int:
+        """The table's AUTHORITATIVE bucket count: the persisted one once
+        the table exists (the constructor arg only seeds ``init()`` /
+        ``rebucket()``), so a table object opened with a stale n_buckets
+        can never mis-assign keys to buckets."""
+        if meta is None:
+            meta = self._meta() if self.exists() else {}
+        return int(meta.get("n_buckets", self.n_buckets))
+
     def bucket_expr(self) -> F.Column:
         """The table's bucket assignment expression — callers that already
         scan the change batch (lineage) can collect touched buckets in the
         same job and pass them to ``upsert(touched=...)``."""
-        return _bucket_expr(self.key_cols, self.n_buckets)
+        return _bucket_expr(self.key_cols, self._n_buckets())
 
     def upsert(
         self,
@@ -369,8 +381,9 @@ class HashBucketParquetTable:
                 "suppression against the stored _digest)"
             )
         digests_current = meta.get("digest_cols", persisted) == list(compare_cols)
+        n_buckets = self._n_buckets(meta)
         changes_b = changes.withColumn(
-            "_bucket", _bucket_expr(self.key_cols, self.n_buckets)
+            "_bucket", _bucket_expr(self.key_cols, n_buckets)
         )
         if touched is None:
             # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
@@ -403,7 +416,7 @@ class HashBucketParquetTable:
             base_digest_col="_digest",
             changes_digest_col="_cdigest",
             out_digest_col="_digest",
-        ).withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
+        ).withColumn("_bucket", _bucket_expr(self.key_cols, n_buckets))
         # No caching: recomputing the plan is cheaper than materializing it,
         # and at scale cache memory is better spent on shuffle.
         self._commit_generation(merged, touched, expected_seq=base_seq)
@@ -413,6 +426,8 @@ class HashBucketParquetTable:
         merged: DataFrame,
         touched: Sequence[int],
         expected_seq: int | None = None,
+        meta_updates: dict | None = None,
+        full_replace: bool = False,
     ) -> None:
         """Stage → validate → swap → sweep. The manifest rewrite is the
         atomic commit point; a touched bucket with no staged output was
@@ -440,11 +455,18 @@ class HashBucketParquetTable:
             )
         bmap = meta.setdefault("buckets", {})
         before_refs = set(bmap.values())
-        for b in touched:
-            if b in written:
+        if full_replace:
+            # the staged generation IS the whole table (rebucket): every
+            # prior mapping is superseded in the same atomic swap
+            bmap.clear()
+            for b in written:
                 bmap[str(b)] = gen
-            else:
-                bmap.pop(str(b), None)  # every row deleted → bucket is empty
+        else:
+            for b in touched:
+                if b in written:
+                    bmap[str(b)] = gen
+                else:
+                    bmap.pop(str(b), None)  # every row deleted → bucket is empty
         seq = int(meta.get("commit_seq", 0)) + 1
         meta["commit_seq"] = seq
         retired = meta.setdefault("retired", {})
@@ -453,6 +475,8 @@ class HashBucketParquetTable:
         expired = [g for g, s in retired.items() if seq >= int(s) + self.retain_generations]
         for g in expired:
             retired.pop(g, None)
+        if meta_updates:
+            meta.update(meta_updates)
         self._write_meta(meta)  # ← ATOMIC COMMIT POINT
         # manifest history: one frozen manifest per commit (time travel /
         # version diff); readable while its generations survive retention
@@ -523,6 +547,41 @@ class HashBucketParquetTable:
             return []
         self._commit_generation(self._read_raw(buckets=crowded), crowded)
         return crowded
+
+    def rebucket(self, new_n_buckets: int, expected_seq: int | None = None) -> None:
+        """Maintenance: rewrite the WHOLE table into ``new_n_buckets`` hash
+        buckets — the Iceberg partition-spec-evolution + rewrite_data_files
+        analog for a table that outgrew (or over-provisioned) its bucket
+        count. One shuffle + one write job over the full table; persisted
+        ``_digest`` values carry over unchanged (bucketing is orthogonal to
+        the compare payload). The swap is the same atomic manifest commit as
+        any upsert: readers pinned to pre-rebucket manifests stay valid
+        through the retention window, and a crash mid-rewrite leaves the old
+        bucketing fully intact. After the commit, ``n_buckets`` is persisted
+        so EVERY table object — whatever its constructor arg — resolves the
+        new count via ``_n_buckets()``. At 100 TB: schedule like compaction;
+        work is O(table), so grow in large steps (e.g. 4×), not one by one.
+        """
+        self._check_writable()
+        meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
+        if expected_seq is None:
+            expected_seq = base_seq
+        new_n_buckets = int(new_n_buckets)
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be ≥ 1, got {new_n_buckets}")
+        if new_n_buckets == self._n_buckets(meta):
+            return
+        rewritten = self._read_raw().drop("_bucket").withColumn(
+            "_bucket", _bucket_expr(self.key_cols, new_n_buckets)
+        )
+        self._commit_generation(
+            rewritten,
+            touched=[],
+            expected_seq=expected_seq,
+            meta_updates={"n_buckets": new_n_buckets},
+            full_replace=True,
+        )
 
     def _part_files(self, bucket: int) -> set[str]:
         gen = self._meta().get("buckets", {}).get(str(bucket))

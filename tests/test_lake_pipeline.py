@@ -480,3 +480,39 @@ def test_time_travel_read_version_and_diff(spark, tmp_path):
     table.upsert(upd("v5", 4))
     with _pytest.raises(ValueError, match="expired generations"):
         table.read_version(1).count()
+
+
+def test_rebucket_grows_table_and_persists_count(spark, tmp_path):
+    """rebucket() rewrites the table into a new bucket count atomically
+    (partition-spec evolution analog); content is unchanged, the persisted
+    count becomes authoritative, and a table object opened with a STALE
+    constructor n_buckets still buckets upserts correctly."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=120, seed=77))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.init(base)
+    table.rebucket(16)
+    assert table._n_buckets() == 16
+    assert datasets_equal(table.read(), base)
+    # on-disk layout really uses the new bucket ids (some id ≥ 4 appears)
+    live = table._meta()["buckets"]
+    assert any(int(b) >= 4 for b in live)
+    assert len(live) <= 16
+
+    # a STALE handle (constructor says 4) must resolve the persisted 16:
+    stale = HashBucketParquetTable(spark, table.path, n_buckets=4)
+    one = stale.read().limit(1).withColumn("op", F.lit("UPDATE")).withColumn(
+        "content", F.lit("rebucketed!")
+    ).withColumn("event_seq", F.lit(1).cast("long"))
+    stale.upsert(one)
+    assert stale.read().filter(F.col("content") == "rebucketed!").count() == 1
+    # no row lost/duplicated by a mis-bucketed merge: key set identical
+    assert stale.read().count() == base.count()
+    assert stale.read().select("repo", "path").distinct().count() == base.count()
+
+    # no-op and validation paths
+    table.rebucket(16)  # same count → no commit
+    assert table._n_buckets() == 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="≥ 1"):
+        table.rebucket(0)

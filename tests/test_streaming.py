@@ -179,6 +179,76 @@ def test_lww_state_ttl_evicts_and_rebuilds(spark, tmp_path):
     assert b_rows[-1] == ("c2", "b2")
 
 
+def test_lww_state_stream_tie_order_matches_batch(spark, tmp_path):
+    """Events TIED on (commit, event_seq) — possible on derived logs —
+    must converge to the same winner in the stateful stream as in batch
+    lww_dedup with the extended total order, both within one micro-batch
+    and across micro-batches (state-compare path)."""
+    from bcdc2bcdc_spark.operators.lww import lww_dedup
+    from bcdc2bcdc_spark.streaming.stream import LWW_STATE_ORDER, lww_state_stream
+
+    def _ev(repo, path, commit, seq, lang, content, op="UPDATE"):
+        return {
+            "repo": repo, "path": path, "commit": commit, "event_seq": seq,
+            "lang": lang, "content": content, "op": op,
+        }
+
+    # batch 0: in-batch tie on (c1, 1); batch 1: cross-batch tie vs state
+    batches = [
+        [
+            _ev("r1", "p1", "c1", 1, "a", "x"),
+            _ev("r1", "p1", "c1", 1, "b", "y"),   # wins batch 0 (lang b > a)
+            _ev("r2", "p2", "c1", 1, None, "m"),  # NULL lang loses to any
+            _ev("r2", "p2", "c1", 1, "a", "n"),
+        ],
+        [
+            _ev("r1", "p1", "c1", 1, "b", "z"),   # ties state on lang too →
+                                                  # content z > y wins
+            _ev("r2", "p2", "c1", 1, "a", "k"),   # content n > k → state holds
+        ],
+    ]
+    events_dir = str(tmp_path / "tie_in")
+    os.makedirs(events_dir, exist_ok=True)
+    all_rows = []
+    emitted = []
+
+    def _collect(bdf, _bid):
+        emitted.extend(tuple(r) for r in bdf.collect())
+
+    for rows in batches:
+        all_rows.extend(rows)
+        data = [tuple(r[f.name] for f in EVENTS_SCHEMA.fields) for r in rows]
+        spark.createDataFrame(data, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+    sdf = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(events_dir)
+    q = (
+        lww_state_stream(sdf)
+        .writeStream.outputMode("update")
+        .foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "tie_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last emission per key = the stream's converged winner
+    stream_final = {}
+    for r in emitted:
+        stream_final[(r[0], r[1])] = r
+    data = [tuple(r[f.name] for f in EVENTS_SCHEMA.fields) for r in all_rows]
+    batch = lww_dedup(
+        spark.createDataFrame(data, EVENTS_SCHEMA), order_cols=LWW_STATE_ORDER
+    )
+    cols = ["repo", "path", "commit", "event_seq", "lang", "content", "op"]
+    batch_final = {(r["repo"], r["path"]): tuple(r[c] for c in cols) for r in batch.collect()}
+    assert stream_final == batch_final
+    assert stream_final[("r1", "p1")][5] == "z"  # cross-batch content tiebreak
+    assert stream_final[("r2", "p2")][5] == "n"  # state holds vs lower content
+
+
 def test_lww_state_stream_matches_batch_lww(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): streaming per-key
     LWW state across micro-batches converges to the batch lww_dedup winner
