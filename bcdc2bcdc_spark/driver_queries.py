@@ -2066,3 +2066,97 @@ ORACLES.update(
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering — connected components over near-dup pairs → kept corpus
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: MinHash-LSH candidate pairs (the
+    dedup_minhash generator, unchanged) fed through the iterative
+    min-label connected-components operator; every document — including
+    isolated ones — gets cluster_id = min doc_id of its component. The
+    oracle recomputes the same fixpoint with a DuckDB recursive CTE
+    (reachability → MIN per vertex), a fully independent algorithm."""
+    from bcdc2bcdc_spark.operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, shingle_n=3)
+    cc = connected_components(pairs, vertices=docs.select("doc_id"), id_col="doc_id")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE
+      pairs AS ({SQL_DEDUP_MINHASH}),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      reach (src, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+      )
+    SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+def q_corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus dedup step end to end: candidate pairs →
+    components → keep ONE representative per cluster (longest text, ties
+    → min doc_id) with the cluster size for pipeline bookkeeping."""
+    from bcdc2bcdc_spark.operators.components import (
+        connected_components,
+        dedup_keep_representative,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, shingle_n=3)
+    cc = connected_components(pairs, vertices=docs.select("doc_id"), id_col="doc_id")
+    kept = dedup_keep_representative(docs.select("doc_id", "text"), cc)
+    return kept.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.length("text").cast("long").alias("kept_len"),
+    )
+
+
+SQL_CORPUS_DEDUP_KEEP = f"""
+    WITH RECURSIVE
+      pairs AS ({SQL_DEDUP_MINHASH}),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      reach (src, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+      ),
+      clusters AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY src),
+      ranked AS (
+        SELECT d.doc_id, c.cluster_id,
+               length(d.text) AS kept_len,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM documents d JOIN clusters c USING (doc_id)
+      )
+    SELECT doc_id, cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(kept_len AS BIGINT) AS kept_len
+    FROM ranked WHERE rn = 1
+"""
+
+QUERIES.update(
+    {
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_dedup_keep": q_corpus_dedup_keep,
+    }
+)
+ORACLES.update(
+    {
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "corpus_dedup_keep": SQL_CORPUS_DEDUP_KEEP,
+    }
+)

@@ -1,0 +1,155 @@
+"""Connected components over near-dup candidate pairs → dedup clusters.
+
+Every candidate generator in :mod:`bcdc2bcdc_spark.operators.dedupe`
+(n-gram Jaccard, MinHash LSH, SimHash, embedding LSH) emits *pairs*; a
+training-data pipeline needs *clusters* — one canonical document kept per
+group of mutual near-dups, the rest dropped.  This module closes that gap
+with a pure-DataFrame connected-components operator: each vertex is
+labelled with the MINIMUM vertex id reachable from it, so the label IS a
+stable, deterministic cluster id.
+
+Algorithm: iterative min-label propagation with pointer compression
+(the "hash-to-min" scheme of Rastogi et al., *Finding Connected
+Components in Map-Reduce in Logarithmic Rounds*, ICDE'13).  Per round:
+
+1. propagate — every vertex takes the min of its own label and its
+   neighbours' labels (one join + one partial-aggregated groupBy);
+2. compress — every vertex re-reads the label OF its label
+   (``l(v) ← l(l(v))``, one self-join), the parallel analog of
+   union-find path compression.
+
+Labels only ever decrease, so the fixpoint is exact; with compression the
+round count is O(log n) even on adversarial path graphs, while LSH dedup
+graphs (near-cliques) converge in 2–3 rounds.  All shuffles are
+hash-partitioned on vertex id — there is no single-partition step and no
+driver-side graph state; per-round work is O(|E| + |V|) shuffled bytes.
+
+Lineage is truncated every round via ``localCheckpoint`` (iterative plans
+otherwise grow unboundedly and re-execute from the source each action).
+On a real cluster prefer a reliable ``spark.sparkContext.setCheckpointDir``
++ ``checkpoint()`` — localCheckpoint blocks live on executors and do not
+survive executor loss; the operator takes a ``checkpoint`` callable so
+deployments can swap the strategy without forking the loop.
+
+Reference parity note: the reference engine has no graph step — this is
+part of the beyond-reference training-data-pipeline surface mandated by
+the brief (same family as operators/dedupe.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _default_checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+    checkpoint: Callable[[DataFrame], DataFrame] = _default_checkpoint,
+) -> DataFrame:
+    """Label every vertex with the min id of its connected component.
+
+    ``pairs`` is an undirected edge list (one row per candidate pair);
+    ``vertices`` optionally supplies the full vertex universe so isolated
+    documents (no near-dup) come back as singleton clusters
+    (``cluster_id = id``) instead of being absent.  Returns
+    ``(id, cluster_id)``, exactly one row per vertex.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds do not reach the
+    fixpoint — with compression that needs a component of diameter
+    ≳ 2^max_iter, i.e. it fires only on a mis-wired input.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        verts = verts.union(vertices.select(F.col(id_col).alias("id"))).distinct()
+    labels = checkpoint(verts.select("id", F.col("id").alias("label")))
+    edges = checkpoint(edges)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        prop = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+        )
+        # pointer compression: l(v) ← l(l(v)).  Labels are always vertex
+        # ids, so the inner join is total.
+        compressed = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("id").alias("label"), F.col("label").alias("label2")
+                ).alias("y"),
+                "label",
+            )
+            .select("id", F.col("label2").alias("label"))
+        )
+        new_labels = checkpoint(compressed)
+        # Labels decrease monotonically → converged ⟺ zero rows changed.
+        # limit(1) short-circuits the scan; both sides are checkpointed so
+        # the probe re-reads materialized blocks, not the iterative plan.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter ≳ 2^max_iter; check the pair generator"
+    )
+
+
+def dedup_keep_representative(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    order_by: Column | list[Column] | None = None,
+) -> DataFrame:
+    """Keep ONE document per dedup cluster: the first under ``order_by``
+    (default: longest text, ties → smallest id — deterministic).  Returns
+    the kept docs with their ``cluster_id`` and the cluster size, i.e. the
+    deduplicated corpus plus the bookkeeping a pipeline logs.
+
+    One broadcast-friendly join (clusters is (id, cluster_id), tiny next
+    to the doc payload) + one window partitioned by cluster_id — both
+    hash-partitioned; skew equals the largest dup cluster, which the
+    candidate generators already bound (band/bucket caps).
+    """
+    if order_by is None:
+        order_by = [F.length("text").desc(), F.col(id_col).asc()]
+    elif isinstance(order_by, Column):
+        order_by = [order_by]
+    joined = docs.join(
+        clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.withColumn(
+        "_rn", F.row_number().over(w.orderBy(*order_by))
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
