@@ -2160,3 +2160,109 @@ ORACLES.update(
         "corpus_dedup_keep": SQL_CORPUS_DEDUP_KEEP,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling — corpus mixture + train/eval split (hash threshold)
+# ---------------------------------------------------------------------------
+
+#: 16^13 = 2^52: 13 md5 hex digits fit a double exactly, so Spark's
+#: conv(hex,16,10)/16^13 and the oracle's digit-sum/16^13 are the SAME
+#: double, and every `u < frac` comparison agrees bit-for-bit.
+_U_DEN = float(16 ** 13)
+
+
+def _hash_uniform_sql(key_expr: str, salt: str) -> tuple[str, str]:
+    """(inner hex-prefix column SQL, uniform-value SQL over that column)."""
+    hx = f"substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 13)"
+    terms = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return hx, f"(CAST({terms} AS DOUBLE) / {_U_DEN!r})"
+
+
+_MIX_FRACS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25}
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture sampling: per-language keep fractions (en 100%,
+    de/fr 50%, es 25%, default 10%) via salted-hash thresholding — one
+    codegen'd filter, no shuffle, reproducible and partitioning-invariant
+    (functions/sampling.py). The oracle recomputes the identical uniform
+    draw from md5 digits."""
+    from bcdc2bcdc_spark.functions.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", _MIX_FRACS, key_col="doc_id", salt="mix1", default_fraction=0.1
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _mixture_sql() -> str:
+    hx, u = _hash_uniform_sql("doc_id", "mix1")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {f!r}" for s, f in sorted(_MIX_FRACS.items())
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, lang, source, n_chars, {hx} AS hx FROM documents)
+    SELECT doc_id, lang, source, n_chars
+    FROM h WHERE {u} < CASE lang {cases} ELSE 0.1 END
+"""
+
+
+SQL_SAMPLE_MIXTURE = _mixture_sql()
+
+_SPLITS = {"train": 0.9, "eval": 0.05, "test": 0.05}
+
+
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval/test assignment (disjoint + exhaustive by
+    construction: one uniform draw bucketed by cumulative fractions),
+    summarized per (split, lang) so the oracle checks EVERY membership."""
+    from bcdc2bcdc_spark.functions.sampling import split_column
+
+    d = load(spark, sf_dir, "documents")
+    lab = d.select(split_column("doc_id", _SPLITS).alias("split"), "lang", "n_chars")
+    return lab.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+def _split_sql() -> str:
+    hx, u = _hash_uniform_sql("doc_id", "split")
+    # cumulative boundaries use the EXACT accumulated-float reprs the
+    # Spark expression compares against (0.9 + 0.05 != 0.95 in binary)
+    items = list(_SPLITS.items())
+    acc, whens = 0.0, []
+    for name, frac in items[:-1]:
+        acc += float(frac)
+        whens.append(f"WHEN u < {acc!r} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+    return f"""
+    WITH h AS (SELECT doc_id, lang, n_chars, {hx} AS hx FROM documents),
+         lab AS (SELECT lang, n_chars, {case} AS split
+                 FROM (SELECT lang, n_chars, {u} AS u FROM h))
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM lab GROUP BY split, lang
+"""
+
+
+SQL_TRAIN_EVAL_SPLIT = _split_sql()
+
+QUERIES.update(
+    {
+        "sample_mixture": q_sample_mixture,
+        "train_eval_split": q_train_eval_split,
+    }
+)
+ORACLES.update(
+    {
+        "sample_mixture": SQL_SAMPLE_MIXTURE,
+        "train_eval_split": SQL_TRAIN_EVAL_SPLIT,
+    }
+)
