@@ -2266,3 +2266,84 @@ ORACLES.update(
         "train_eval_split": SQL_TRAIN_EVAL_SPLIT,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination — n-gram overlap flag + cleaned corpus
+# ---------------------------------------------------------------------------
+
+_EVAL_PRED = "doc_id % 29 = 0"  # deterministic eval subset of documents
+
+
+def _shingles_where_sql(pred: str, n: int = 3) -> str:
+    """Per-doc distinct word n-gram shingles over a documents subset —
+    the DuckDB mirror of operators/dedupe._shingles (short doc → one
+    whole-text shingle; empty doc → no rows)."""
+    return f"""
+    SELECT doc_id, tok FROM (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, GREATEST(len(t) - {n}, 0) + 2),
+                 i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))) AS tok
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+        FROM documents WHERE {pred}
+      )
+    ) WHERE tok <> ''
+"""
+
+
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination flags: distinct 3-gram shingles each training doc
+    (doc_id % 29 ≠ 0) shares with the eval subset (doc_id % 29 = 0) —
+    the GPT-3/Pile-style overlap check. Eval shingles broadcast; the
+    corpus side streams map-side through the join (operators/decontam)."""
+    from bcdc2bcdc_spark.operators.decontam import contamination_hits
+
+    d = load(spark, sf_dir, "documents")
+    hits = contamination_hits(
+        d.filter(f"NOT ({_EVAL_PRED})"), d.filter(_EVAL_PRED), n=3
+    )
+    return hits.select("doc_id", F.col("hits").cast("long").alias("hits"))
+
+
+SQL_DECONTAM_HITS = f"""
+    WITH tr AS ({_shingles_where_sql(f"NOT ({_EVAL_PRED})")}),
+         ev AS (SELECT DISTINCT tok FROM ({_shingles_where_sql(_EVAL_PRED)}))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+    FROM tr JOIN ev USING (tok) GROUP BY doc_id
+"""
+
+
+def q_decontaminate_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated corpus: training docs with ZERO eval 3-gram
+    overlap (min_hits=1 removal), payload anti-joined on the flag set."""
+    from bcdc2bcdc_spark.operators.decontam import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    kept = decontaminate(d.filter(f"NOT ({_EVAL_PRED})"), d.filter(_EVAL_PRED), n=3)
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+SQL_DECONTAMINATE_KEEP = f"""
+    WITH tr AS ({_shingles_where_sql(f"NOT ({_EVAL_PRED})")}),
+         ev AS (SELECT DISTINCT tok FROM ({_shingles_where_sql(_EVAL_PRED)})),
+         flagged AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (tok))
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE NOT ({_EVAL_PRED}) AND doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+QUERIES.update(
+    {
+        "decontam_hits": q_decontam_hits,
+        "decontaminate_keep": q_decontaminate_keep,
+    }
+)
+ORACLES.update(
+    {
+        "decontam_hits": SQL_DECONTAM_HITS,
+        "decontaminate_keep": SQL_DECONTAMINATE_KEEP,
+    }
+)
