@@ -45,7 +45,11 @@ from pyspark.sql import functions as F
 
 
 def _default_checkpoint(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    """LAZY local checkpoint: the convergence probe (the round's one
+    action) materializes it, so each round schedules a single job instead
+    of checkpoint-job + probe-job — on small/medium graphs the round cost
+    is scheduling, not data."""
+    return df.localCheckpoint(eager=False)
 
 
 def connected_components(
@@ -107,13 +111,15 @@ def connected_components(
         )
         new_labels = checkpoint(compressed)
         # Labels decrease monotonically → converged ⟺ zero rows changed.
-        # limit(1) short-circuits the scan; both sides are checkpointed so
-        # the probe re-reads materialized blocks, not the iterative plan.
+        # The probe is a FULL count on purpose: it is the round's only
+        # action, so it must compute every partition — that is what
+        # materializes the lazy checkpoint completely (a limit(1) would
+        # stop early and leave partitions un-checkpointed, re-growing
+        # lineage across rounds).
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
         labels = new_labels

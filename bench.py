@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "ann_ivf",
     "text_stats",
+    "dedup_clusters",
+    "decontaminate_keep",
+    "sample_mixture",
 ]
 
 
