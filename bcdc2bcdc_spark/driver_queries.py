@@ -2347,3 +2347,79 @@ ORACLES.update(
         "decontaminate_keep": SQL_DECONTAMINATE_KEEP,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal decode — WAV + BMP hard-signal rows
+# ---------------------------------------------------------------------------
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode as a hard signal: each doc_id becomes a complete
+    RIFF/WAVE file (stdlib encoder, closed-form int16 PCM), the engine
+    decodes it back with the REAL parser (multimodal.decode_wav: wave
+    container + numpy PCM) in Arrow mapInPandas, and the oracle
+    recomputes every integer feature from the waveform's closed form —
+    if the container round-trip dropped or reordered one sample, the sums
+    diverge."""
+    from bcdc2bcdc_spark.multimodal import audio_features, synth_wav_table
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    feats = audio_features(synth_wav_table(ids, id_col="doc_id"))
+    return feats.withColumnRenamed("media_id", "doc_id")
+
+
+SQL_AUDIO_DECODE = """
+    WITH s AS (
+      SELECT doc_id, unnest(range(0, 200 + doc_id % 800)) AS i FROM documents
+    ),
+    v AS (SELECT doc_id, ((doc_id * 7919 + i * 104729) % 65521 - 32760) AS x FROM s)
+    SELECT doc_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(200 + doc_id % 800 AS BIGINT) AS n_samples,
+           CAST(MIN(x) AS BIGINT) AS sample_min,
+           CAST(MAX(x) AS BIGINT) AS sample_max,
+           CAST(SUM(x) AS BIGINT) AS sample_sum
+    FROM v GROUP BY doc_id
+"""
+
+
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode as a hard signal: each doc_id becomes a complete
+    24-bit BMP (struct-packed headers, BGR, padded bottom-up rows), the
+    engine decodes it with the REAL parser (multimodal.decode_bmp) in
+    Arrow mapInPandas, and the oracle recomputes width/height and exact
+    per-channel sums from the pixel closed form — any padding/row-order/
+    channel-order mistake in either codec breaks the match."""
+    from bcdc2bcdc_spark.multimodal import image_features, synth_bmp_table
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    feats = image_features(synth_bmp_table(ids, id_col="doc_id"))
+    return feats.withColumnRenamed("media_id", "doc_id")
+
+
+SQL_IMAGE_DECODE = """
+    WITH dims AS (SELECT doc_id, 4 + doc_id % 29 AS w, 3 + doc_id % 17 AS h FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+         pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM((doc_id * 11 + 2 * x + y) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id * 5 + x + 2 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id + 3 * x + 7 * y) % 256) AS BIGINT) AS sum_b
+    FROM pxy GROUP BY doc_id, w, h
+"""
+
+QUERIES.update(
+    {
+        "audio_decode": q_audio_decode,
+        "image_decode": q_image_decode,
+    }
+)
+ORACLES.update(
+    {
+        "audio_decode": SQL_AUDIO_DECODE,
+        "image_decode": SQL_IMAGE_DECODE,
+    }
+)
