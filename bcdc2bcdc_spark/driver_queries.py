@@ -2423,3 +2423,98 @@ ORACLES.update(
         "image_decode": SQL_IMAGE_DECODE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# reference transformationConfig adapter — config-driven compare view
+# ---------------------------------------------------------------------------
+
+#: an inline config in the REFERENCE'S schema (transformationConfig.md):
+#: bool tree with a nested array sub-schema, ignore_list, required
+#: defaults, and a mapped custom method — compiled by
+#: transforms/reference_config.py onto engine operators.
+_REF_CFG = {
+    "orders": {
+        "unique_id_field": "orderkey",
+        "ignore_list": ["4", "8", "15"],
+        "user_populated_properties": {
+            "orderkey": True,
+            "priority": True,
+            "clerk": False,
+            "items": [{"pk": True, "autogen": False, "qty": True}],
+        },
+        "required_default_values": {"priority": "UNKNOWN"},
+        "custom_transformation_methods": [
+            {"UpdateType": "COMPARE", "CustomMethodName": "fixNoneAsString"}
+        ],
+    }
+}
+
+
+def q_ref_config_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN config format driving the engine end to end:
+    an inline transformationConfig (bool tree incl. array-of-struct
+    sub-schema, ignore_list, required_default_values, a custom COMPARE
+    method) is compiled by transforms/reference_config.py and applied as
+    ignore filter → nested bool-tree projection → defaults →
+    fixNoneAsString, then reduced order-insensitively for comparison.
+    Dirt is injected first ('None' strings, NULLs) so every config
+    feature provably fires."""
+    from bcdc2bcdc_spark.transforms.reference_config import load_reference_config
+
+    ent = load_reference_config(_REF_CFG)["orders"]
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_partkey").alias("pk"),
+                F.col("l_shipdate").cast("string").alias("autogen"),
+                F.col("l_quantity").cast("long").alias("qty"),
+            )
+        ).alias("items")
+    )
+    nested = (
+        o.select(
+            F.col("o_orderkey").cast("string").alias("orderkey"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("None"))
+            .when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.col("o_orderstatus").alias("clerk"),
+            F.col("o_orderkey").alias("_k"),
+        )
+        .join(items, F.col("_k") == F.col("l_orderkey"), "left")
+        .drop("l_orderkey", "_k")
+        .withColumn("items", F.coalesce("items", F.array()))
+    )
+    view = ent.compare_view(nested)
+    return view.select(
+        "orderkey",
+        "priority",
+        F.size("items").cast("long").alias("n_items"),
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda a, e: a + e.getField("qty")
+        ).alias("sum_qty"),
+    )
+
+
+SQL_REF_CONFIG_PIPELINE = """
+    WITH items AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(o_orderkey AS VARCHAR) AS orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                WHEN o_orderkey % 11 = 0 THEN 'UNKNOWN'
+                ELSE o_orderpriority END AS priority,
+           CAST(COALESCE(i.n, 0) AS BIGINT) AS n_items,
+           CAST(COALESCE(i.sq, 0) AS BIGINT) AS sum_qty
+    FROM orders o LEFT JOIN items i ON i.l_orderkey = o.o_orderkey
+    WHERE CAST(o_orderkey AS VARCHAR) NOT IN ('4', '8', '15')
+"""
+
+QUERIES["ref_config_pipeline"] = q_ref_config_pipeline
+ORACLES["ref_config_pipeline"] = SQL_REF_CONFIG_PIPELINE
