@@ -92,3 +92,41 @@ def test_spark_image_features_match_analytic(spark):
         px = synth_bmp_pixels(r["media_id"])
         assert (r["width"], r["height"]) == (px.shape[1], px.shape[0])
         assert r["sum_g"] == int(px[:, :, 1].sum(dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# property tests: arbitrary payloads round-trip bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_round_trip_property(samples, rate):
+    arr = np.array(samples, dtype=np.int16)
+    d = decode_wav(encode_wav(arr, sample_rate=rate))
+    assert d["sample_rate"] == rate
+    assert d["n_samples"] == len(arr)
+    assert d["sample_sum"] == int(arr.sum(dtype=np.int64))
+    if len(arr):
+        assert d["sample_min"] == int(arr.min())
+        assert d["sample_max"] == int(arr.max())
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_round_trip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = decode_bmp(encode_bmp(px))
+    assert (d["width"], d["height"]) == (w, h)
+    for i, ch in enumerate(("sum_r", "sum_g", "sum_b")):
+        assert d[ch] == int(px[:, :, i].sum(dtype=np.int64))
