@@ -2518,3 +2518,152 @@ SQL_REF_CONFIG_PIPELINE = """
 
 QUERIES["ref_config_pipeline"] = q_ref_config_pipeline
 ORACLES["ref_config_pipeline"] = SQL_REF_CONFIG_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# composed corpus pipeline — quality → mixture → dedup-keep → decontaminate
+# ---------------------------------------------------------------------------
+
+def _shingles_from_sql(source: str, n: int = 3) -> str:
+    """Shingle SQL over any CTE exposing (doc_id, text) — same construction
+    as _shingles_where_sql but source-parameterized for composed oracles."""
+    return f"""
+    SELECT doc_id, tok FROM (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, GREATEST(len(t) - {n}, 0) + 2),
+                 i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))) AS tok
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+        FROM {source}
+      )
+    ) WHERE tok <> ''
+"""
+
+
+def _minhash_pairs_from_sql(toks_cte: str, num_hashes: int = 8, band_size: int = 2) -> str:
+    """Banded-minhash candidate pairs over a named shingle CTE."""
+    mh_cols = ",\n               ".join(
+        f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(num_hashes)
+    )
+    bands = "\n               UNION ALL\n               ".join(
+        "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=" || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(num_hashes // band_size)
+    )
+    return f"""(
+      WITH sig AS (SELECT doc_id, {mh_cols} FROM {toks_cte} GROUP BY doc_id),
+           buckets AS ({bands})
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM buckets x JOIN buckets y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    )"""
+
+
+#: SQL mirror of functions/text.quality_score (term-for-term, the
+#: text_quality-proven form) as a scalar over (text)
+_QUALITY_SQL = r"""
+    ROUND((
+      (CASE WHEN length(text) >= 100 THEN 1.0 ELSE length(text) / 100.0 END)
+      + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                     / GREATEST(length(text), 1) * 4, 1.0))
+      + (CASE WHEN list_sum(list_transform(
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                     x -> length(x)))
+                   / GREATEST(len(list_filter(
+                       regexp_split_to_array(text, '\s+'), x -> x <> '')), 1)
+                   BETWEEN 3 AND 12
+              THEN 1.0 ELSE 0.5 END)
+    ) / 3.0, 4)
+"""
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus assembly pipeline END TO END, composed from the
+    engine's own operators: quality filter (≥0.8 composite score) →
+    per-language mixture sampling (salted hash threshold) → MinHash-LSH
+    candidate pairs → connected-components dedup clusters → keep one
+    representative per cluster (longest, ties min id) → eval-set
+    decontamination (3-gram overlap vs doc_id%29 eval docs). Returns
+    doc-level rows (id, lang, cluster id/size, chars) so the oracle —
+    one chained DuckDB query ending in recursive-CTE reachability —
+    checks every membership decision of every stage."""
+    from bcdc2bcdc_spark.functions.sampling import stratified_sample
+    from bcdc2bcdc_spark.functions.text import quality_score
+    from bcdc2bcdc_spark.operators.components import (
+        connected_components,
+        dedup_keep_representative,
+    )
+    from bcdc2bcdc_spark.operators.decontam import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    eval_df = d.filter(_EVAL_PRED)
+    train = d.filter(f"NOT ({_EVAL_PRED})")
+    q = train.filter(quality_score("text") >= 0.8)
+    samp = stratified_sample(
+        q, "lang", _MIX_FRACS, key_col="doc_id", salt="corpus1", default_fraction=0.2
+    )
+    pairs = minhash_lsh_pairs(samp, shingle_n=3)
+    cc = connected_components(pairs, vertices=samp.select("doc_id"), id_col="doc_id")
+    kept = dedup_keep_representative(
+        samp.select("doc_id", "text", "lang", "n_chars"), cc
+    )
+    clean = decontaminate(kept, eval_df, n=3)
+    return clean.select(
+        "doc_id",
+        "lang",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    hx, u = _hash_uniform_sql("doc_id", "corpus1")
+    cases = " ".join(f"WHEN '{s}' THEN {f!r}" for s, f in sorted(_MIX_FRACS.items()))
+    return f"""
+    WITH RECURSIVE
+      q AS (SELECT doc_id, text, lang, n_chars FROM documents
+            WHERE NOT ({_EVAL_PRED}) AND {_QUALITY_SQL} >= 0.8),
+      samp AS (SELECT doc_id, text, lang, n_chars FROM (
+                 SELECT *, {hx} AS hx FROM q)
+               WHERE {u} < CASE lang {cases} ELSE 0.2 END),
+      stoks AS ({_shingles_from_sql("samp")}),
+      pairs AS ({_minhash_pairs_from_sql("stoks")}),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      reach (src, lbl) AS (
+        SELECT doc_id, doc_id FROM samp
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+      ),
+      clusters AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY src),
+      ranked AS (
+        SELECT s.doc_id, s.lang, s.n_chars, s.text, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(s.text) DESC, s.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM samp s JOIN clusters c USING (doc_id)
+      ),
+      kept AS (SELECT doc_id, lang, n_chars, text, cluster_id, cluster_size
+               FROM ranked WHERE rn = 1),
+      ktoks AS ({_shingles_from_sql("kept")}),
+      etoks AS ({_shingles_from_sql(f"(SELECT doc_id, text FROM documents WHERE {_EVAL_PRED})")}),
+      flagged AS (SELECT DISTINCT k.doc_id
+                  FROM ktoks k JOIN (SELECT DISTINCT tok FROM etoks) e USING (tok))
+    SELECT doc_id, lang, cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+SQL_CORPUS_PIPELINE = _corpus_pipeline_sql()
+
+QUERIES["corpus_pipeline"] = q_corpus_pipeline
+ORACLES["corpus_pipeline"] = SQL_CORPUS_PIPELINE
