@@ -2166,10 +2166,10 @@ ORACLES.update(
 # deterministic sampling — corpus mixture + train/eval split (hash threshold)
 # ---------------------------------------------------------------------------
 
-#: 16^13 = 2^52: 13 md5 hex digits fit a double exactly, so Spark's
-#: conv(hex,16,10)/16^13 and the oracle's digit-sum/16^13 are the SAME
-#: double, and every `u < frac` comparison agrees bit-for-bit.
-_U_DEN = float(16 ** 13)
+# the engine's hash-space denominator (16^13 = 2^52; see sampling.py for
+# why the value is exactly portable) — ONE definition, imported here so
+# the oracle can never drift from the engine
+from bcdc2bcdc_spark.functions.sampling import _HASH_SPACE as _U_DEN  # noqa: E402
 
 
 def _hash_uniform_sql(key_expr: str, salt: str) -> tuple[str, str]:
@@ -2275,10 +2275,11 @@ ORACLES.update(
 _EVAL_PRED = "doc_id % 29 = 0"  # deterministic eval subset of documents
 
 
-def _shingles_where_sql(pred: str, n: int = 3) -> str:
-    """Per-doc distinct word n-gram shingles over a documents subset —
-    the DuckDB mirror of operators/dedupe._shingles (short doc → one
-    whole-text shingle; empty doc → no rows)."""
+def _shingles_from_sql(source: str, n: int = 3) -> str:
+    """Per-doc distinct word n-gram shingles over any relation exposing
+    (doc_id, text) — the DuckDB mirror of operators/dedupe._shingles
+    (short doc → one whole-text shingle; empty doc → no rows). The ONE
+    copy of this construction; every composed oracle delegates here."""
     return f"""
     SELECT doc_id, tok FROM (
       SELECT doc_id,
@@ -2288,10 +2289,15 @@ def _shingles_where_sql(pred: str, n: int = 3) -> str:
       FROM (
         SELECT doc_id,
                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
-        FROM documents WHERE {pred}
+        FROM {source}
       )
     ) WHERE tok <> ''
 """
+
+
+def _shingles_where_sql(pred: str, n: int = 3) -> str:
+    """Shingles over a predicate-filtered documents subset."""
+    return _shingles_from_sql(f"(SELECT doc_id, text FROM documents WHERE {pred})", n)
 
 
 def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2522,25 +2528,8 @@ ORACLES["ref_config_pipeline"] = SQL_REF_CONFIG_PIPELINE
 
 # ---------------------------------------------------------------------------
 # composed corpus pipeline — quality → mixture → dedup-keep → decontaminate
+# (shingle SQL: the shared _shingles_from_sql above the decontam section)
 # ---------------------------------------------------------------------------
-
-def _shingles_from_sql(source: str, n: int = 3) -> str:
-    """Shingle SQL over any CTE exposing (doc_id, text) — same construction
-    as _shingles_where_sql but source-parameterized for composed oracles."""
-    return f"""
-    SELECT doc_id, tok FROM (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-                 range(1, GREATEST(len(t) - {n}, 0) + 2),
-                 i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))) AS tok
-      FROM (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
-        FROM {source}
-      )
-    ) WHERE tok <> ''
-"""
-
 
 def _minhash_pairs_from_sql(toks_cte: str, num_hashes: int = 8, band_size: int = 2) -> str:
     """Banded-minhash candidate pairs over a named shingle CTE."""

@@ -230,14 +230,23 @@ def decode_bmp(data: bytes) -> dict:
     hsize, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
     if bpp != 24 or comp != 0:
         raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    # negative biHeight = valid top-down variant (rows stored top-first)
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
     row_bytes = w * 3
     stride = row_bytes + (4 - row_bytes % 4) % 4
+    if off + h * stride > len(data):
+        raise ValueError(
+            f"truncated BMP: need {off + h * stride} bytes, have {len(data)}"
+        )
     rows = []
     for y in range(h):
         start = off + y * stride
         rows.append(np.frombuffer(data, dtype=np.uint8, count=row_bytes, offset=start).reshape(w, 3))
-    # stored bottom-up: last stored row is the top image row
-    img = np.stack(rows[::-1])  # (h, w, 3) in BGR
+    # bottom-up storage (positive height): last stored row is the top row
+    img = np.stack(rows if top_down else rows[::-1])  # (h, w, 3) in BGR
     return {
         "width": int(w),
         "height": int(h),

@@ -87,7 +87,7 @@ def _centroid_literal(centroids: DataFrame):
     from running n_cells times per vector."""
     import math
 
-    rows = centroids.orderBy("cell_id").collect()
+    rows = _collect_centroids(centroids)
     if not rows:
         return None
     entries = []
@@ -106,8 +106,18 @@ def _centroid_literal(centroids: DataFrame):
     return F.array(*entries)
 
 
+def _collect_centroids(centroids) -> list:
+    """Centroid frame → driver rows, ONCE (bounded: n_cells rows). Accepts
+    an already-collected list so multi-use call sites (corpus assign +
+    query assign, Lloyd rounds) never re-execute the centroid plan — with
+    refined centroids that plan embeds a corpus-wide job."""
+    if isinstance(centroids, list):
+        return centroids
+    return centroids.orderBy("cell_id").collect()
+
+
 def _assign_cells(
-    vecs: DataFrame, centroids: DataFrame, vec_alias: str, n_best: int
+    vecs: DataFrame, centroids, vec_alias: str, n_best: int
 ) -> DataFrame:
     """Attach the n_best nearest cell ids to each vector — MAP-SIDE.
 
@@ -163,8 +173,8 @@ def _assign_cells(
 
 
 def lloyd_refine(
-    vecs: DataFrame, centroids: DataFrame, iters: int, vec_alias: str = "cv"
-) -> DataFrame:
+    vecs: DataFrame, centroids, iters: int, vec_alias: str = "cv"
+):
     """0..iters rounds of Lloyd's k-means over the corpus: assign every
     vector to its nearest centroid (map-side, zero shuffle), then replace
     each non-empty cell's centroid with the member MEAN.
@@ -187,11 +197,17 @@ def lloyd_refine(
                 / F.count(F.lit(1))
             ).alias("m")
         )
-        cents = means.groupBy("cell_id").agg(
+        cents_df = means.groupBy("cell_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("centroid")
         )
+        # materialize each round ONCE (n_cells rows): the next round — and
+        # every later _assign_cells — builds its literal from these rows
+        # instead of re-executing the round's corpus-wide plan; without
+        # this, round i+1's collect recomputes rounds 1..i from scratch
+        # and ivf_topk's two assigns would run the final round twice.
+        cents = _collect_centroids(cents_df)
     return cents
 
 
@@ -219,6 +235,7 @@ def ivf_topk(
     )
     if lloyd_iters:
         cents = lloyd_refine(c, cents, lloyd_iters, "cv")
+    cents = _collect_centroids(cents)  # one centroid job for BOTH assigns
     c_cells = _assign_cells(c, cents, "cv", 1)
     q_cells = _assign_cells(q, cents, "qv", n_probe)
     scored = (

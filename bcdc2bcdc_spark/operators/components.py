@@ -151,9 +151,13 @@ def dedup_keep_representative(
         order_by = [F.length("text").desc(), F.col(id_col).asc()]
     elif isinstance(order_by, Column):
         order_by = [order_by]
+    # LEFT join: a doc absent from the cluster frame (e.g. components run
+    # without the full vertex universe) is its OWN singleton cluster —
+    # an inner join here would silently drop the entire non-duplicate
+    # majority of the corpus.
     joined = docs.join(
-        clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col
-    )
+        clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
     w = Window.partitionBy("cluster_id")
     ranked = joined.withColumn(
         "_rn", F.row_number().over(w.orderBy(*order_by))

@@ -222,6 +222,7 @@ class HashBucketParquetTable:
             return False
         self._check_writable()
         meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
         meta["schema"] = evolved.jsonValue()
         # Evolved payload columns JOIN the compare set (they are user data,
         # like the reference's user_populated fields): an UPDATE that changes
@@ -235,6 +236,17 @@ class HashBucketParquetTable:
         for f in evolved.fields:
             if f.name in new_names and f.name not in non_compare and f.name not in have:
                 meta.setdefault("compare_cols", list(self.compare_cols)).append(f.name)
+        # evolve() rewrites the WHOLE manifest (schema + compare_cols ride
+        # along with the buckets map it read) — re-check commit_seq so a
+        # data commit that landed since the read is not rolled back. Same
+        # check-then-write window as every commit here; true mutual
+        # exclusion needs the external single-writer discipline the class
+        # docstring mandates.
+        if int(self._meta().get("commit_seq", 0)) != base_seq:
+            raise ConcurrentWriteError(
+                "a commit landed during schema evolution — re-run evolve() "
+                "against the new table state"
+            )
         self._write_meta(meta)
         return True
 
@@ -462,6 +474,15 @@ class HashBucketParquetTable:
             for b in written:
                 bmap[str(b)] = gen
         else:
+            extra = set(written) - {int(b) for b in touched}
+            if extra:
+                raise ConcurrentWriteError(
+                    f"staged output holds buckets {sorted(extra)} outside the "
+                    "declared touched set — the bucket scheme changed under "
+                    "this writer (concurrent rebucket?) or the caller passed "
+                    f"an incomplete touched list; staged generation {gen} "
+                    "left for the next sweep, manifest untouched"
+                )
             for b in touched:
                 if b in written:
                     bmap[str(b)] = gen
@@ -518,6 +539,7 @@ class HashBucketParquetTable:
         action — full table rewrite, schedule accordingly."""
         self._check_writable()
         meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
         compare = list(meta.get("compare_cols", self.compare_cols))
         if meta.get("digest_cols") == compare:
             return
@@ -525,10 +547,16 @@ class HashBucketParquetTable:
             self._read_raw().drop("_digest"), compare, "_digest", impl=digest_impl
         )
         touched = [int(b) for b in meta.get("buckets", {})]
-        self._commit_generation(rewritten, touched)
-        meta = self._meta()  # re-read: the commit rewrote the bucket map
-        meta["digest_cols"] = compare
-        self._write_meta(meta)
+        # digest_cols advances IN the same atomic commit (no follow-up
+        # read-modify-write), guarded by the optimistic-concurrency check —
+        # a concurrent upsert's commit aborts this maintenance run instead
+        # of being clobbered by it.
+        self._commit_generation(
+            rewritten,
+            touched,
+            expected_seq=base_seq,
+            meta_updates={"digest_cols": compare},
+        )
 
     def compact(self, max_files_per_bucket: int = 4) -> list[int]:
         """Small-file maintenance: rewrite every bucket whose partition dir
@@ -539,13 +567,19 @@ class HashBucketParquetTable:
         read→repartition(1 per bucket)→atomic generation commit. Content
         is unchanged (idempotent); returns the compacted bucket ids."""
         self._check_writable()
-        bmap = self._meta().get("buckets", {})
+        meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
+        bmap = meta.get("buckets", {})
         crowded = [
             int(b) for b in bmap if len(self._part_files(int(b))) > max_files_per_bucket
         ]
         if not crowded:
             return []
-        self._commit_generation(self._read_raw(buckets=crowded), crowded)
+        # optimistic-concurrency guarded like any commit: a concurrent
+        # upsert wins and this maintenance rewrite aborts, never the reverse
+        self._commit_generation(
+            self._read_raw(buckets=crowded), crowded, expected_seq=base_seq
+        )
         return crowded
 
     def rebucket(self, new_n_buckets: int, expected_seq: int | None = None) -> None:

@@ -130,3 +130,20 @@ def test_bmp_round_trip_property(w, h, seed):
     assert (d["width"], d["height"]) == (w, h)
     for i, ch in enumerate(("sum_r", "sum_g", "sum_b")):
         assert d[ch] == int(px[:, :, i].sum(dtype=np.int64))
+
+
+def test_bmp_top_down_variant_and_truncation():
+    # top-down BMP: biHeight negative, rows stored top-first — a standard
+    # valid variant the decoder must flip correctly
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    blob = bytearray(encode_bmp(px))
+    h = struct.unpack_from("<i", blob, 22)[0]
+    struct.pack_into("<i", blob, 22, -h)
+    # stored bottom-up by the encoder; negative height says read top-down →
+    # decoded image is vertically flipped, channel sums unchanged
+    d = decode_bmp(bytes(blob))
+    assert (d["width"], d["height"]) == (4, 2)
+    assert d["sum_g"] == int(px[:, :, 1].sum(dtype=np.int64))
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(encode_bmp(px))[:-5])

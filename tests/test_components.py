@@ -100,3 +100,17 @@ def test_keep_representative_longest_then_min_id(spark):
     # exactly one kept row per cluster, and the dropped mass is the rest
     assert kept.count() == 3
     assert kept.agg(F.sum("cluster_size")).first()[0] == docs.count()
+
+
+def test_keep_representative_without_vertex_universe(spark):
+    """Clusters computed WITHOUT the full vertex universe: docs absent
+    from the cluster frame are their own singleton clusters — not
+    silently dropped (left join + coalesce)."""
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bbb"), (9, "solo")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    clusters = connected_components(pairs)  # no vertices: only 1 and 2
+    kept = dedup_keep_representative(docs, clusters)
+    rows = {r["cluster_id"]: r["doc_id"] for r in kept.collect()}
+    assert rows == {1: 2, 9: 9}  # doc 9 kept as its own cluster

@@ -516,3 +516,20 @@ def test_rebucket_grows_table_and_persists_count(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="≥ 1"):
         table.rebucket(0)
+
+
+def test_commit_rejects_staged_buckets_outside_touched(spark, tmp_path):
+    """A staged generation holding bucket dirs the caller did not declare
+    touched ABORTS the commit (stale touched list / bucket scheme changed
+    under the writer) — the manifest must never silently drop rows that
+    were staged but unreferenced."""
+    from bcdc2bcdc_spark.sources.lake import ConcurrentWriteError
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=120, seed=5))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.init(base)
+    before = table._meta()
+    with pytest.raises(ConcurrentWriteError, match="outside the declared"):
+        table._commit_generation(table._read_raw(), touched=[0])
+    assert table._meta() == before  # manifest untouched by the abort
+    assert datasets_equal(table.read(), base)

@@ -161,12 +161,24 @@ def test_lww_state_ttl_evicts_and_rebuilds(spark, tmp_path):
         .trigger(processingTime="500 milliseconds")
         .start()
     )
+    def _wait_for(pred, timeout=60):
+        """Poll the emission log instead of racing wall-clock sleeps —
+        fixed sleeps flake when a loaded box delays a 500 ms trigger."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.25)
+        return False
+
     try:
-        time.sleep(4)  # A idles past its TTL → evicted
+        assert _wait_for(lambda: ("ra", "c9", "winner") in emitted)
+        time.sleep(1.0)  # ra idles ≫ 200 ms TTL before the next batch runs
         _write([_ev("rb", "pb", "c2", 2, "b2")])
-        time.sleep(4)
+        # b2's emission proves a post-TTL batch executed → ra's timeout fired
+        assert _wait_for(lambda: ("rb", "c2", "b2") in emitted)
         _write([_ev("ra", "pa", "c3", 3, "stale")])  # STALE: c3 < c9
-        time.sleep(4)
+        assert _wait_for(lambda: ("ra", "c3", "stale") in emitted)
     finally:
         q.stop()
 
