@@ -2656,3 +2656,49 @@ SQL_CORPUS_PIPELINE = _corpus_pipeline_sql()
 
 QUERIES["corpus_pipeline"] = q_corpus_pipeline
 ORACLES["corpus_pipeline"] = SQL_CORPUS_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — concat-then-split pretraining windows
+# ---------------------------------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: whitespace token counts per document,
+    documents concatenated id-ordered within hash shards, stream cut every
+    512 tokens — every document's (shard, start offset, first window,
+    windows spanned), computed as ONE per-shard prefix-sum window
+    (operators/packing.py). The oracle recomputes the identical prefix
+    sums with SQL window functions."""
+    from bcdc2bcdc_spark.functions.text import token_count
+    from bcdc2bcdc_spark.operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, seq_len=512, n_shards=8)
+
+
+SQL_PACK_SEQUENCES = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             doc_id % 8 AS shard
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard, start_tok,
+           CAST(FLOOR(start_tok / 512) AS BIGINT) AS seq_first,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE FLOOR((start_tok + n_tokens - 1) / 512)
+                          - FLOOR(start_tok / 512) + 1 END AS BIGINT) AS n_seqs
+    FROM p
+"""
+
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
