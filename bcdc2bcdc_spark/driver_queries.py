@@ -2702,3 +2702,76 @@ SQL_PACK_SEQUENCES = r"""
 
 QUERIES["pack_sequences"] = q_pack_sequences
 ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination — cross-set embedding near matches
+# ---------------------------------------------------------------------------
+
+_SEM_EVAL_PRED = "vec_id % 17 = 0"
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: training vectors (vec_id % 17 ≠ 0) whose
+    cosine to ANY eval vector (vec_id % 17 = 0) clears the threshold —
+    cross-set banded hyperplane LSH candidates, exact cosine filter, the
+    eval side broadcast (operators/dedupe.embedding_cross_matches). The
+    lexical n-gram check (decontam_hits) catches verbatim overlap; this
+    catches paraphrase-level leakage."""
+    from bcdc2bcdc_spark.operators.dedupe import embedding_cross_matches
+
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_cross_matches(
+        e.filter(f"NOT ({_SEM_EVAL_PRED})"),
+        e.filter(_SEM_EVAL_PRED),
+        threshold=0.35,
+        n_bands=4,
+        band_bits=4,
+        dim=64,
+    )
+
+
+def _semantic_decontam_sql(
+    threshold: float = 0.35, n_bands: int = 4, band_bits: int = 4, dim: int = 64
+) -> str:
+    from bcdc2bcdc_spark.operators.dedupe import hyperplane_signs
+
+    planes = hyperplane_signs(n_bands * band_bits, dim)
+
+    def bit(j: int) -> str:
+        arr = "[" + ", ".join(str(s) for s in planes[j]) + "]"
+        return f"CASE WHEN list_dot_product(ve, {arr}) >= 0 THEN '1' ELSE '0' END"
+
+    def band_rows(src: str) -> str:
+        return "\n           UNION ALL\n           ".join(
+            "SELECT vec_id, {b} AS band_id, {h} AS band_hash FROM {s}".format(
+                b=b,
+                h=" || ".join(bit(b * band_bits + j) for j in range(band_bits)),
+                s=src,
+            )
+            for b in range(n_bands)
+        )
+
+    cos = _COS_SQL.format(a="va.ve", b="vb.ve")
+    return f"""
+    WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+                WHERE NOT ({_SEM_EVAL_PRED})),
+         ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+                WHERE {_SEM_EVAL_PRED}),
+         tb AS ({band_rows("tr")}),
+         eb AS ({band_rows("ev")}),
+         pairs AS (
+           SELECT DISTINCT t.vec_id AS a, e.vec_id AS b
+           FROM tb t JOIN eb e
+             ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+         )
+    SELECT p.a, p.b, ROUND({cos}, 6) AS cosine
+    FROM pairs p JOIN tr va ON va.vec_id = p.a JOIN ev vb ON vb.vec_id = p.b
+    WHERE ROUND({cos}, 6) >= {threshold}
+"""
+
+
+SQL_SEMANTIC_DECONTAM = _semantic_decontam_sql()
+
+QUERIES["semantic_decontam"] = q_semantic_decontam
+ORACLES["semantic_decontam"] = SQL_SEMANTIC_DECONTAM

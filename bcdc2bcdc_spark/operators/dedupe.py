@@ -378,3 +378,90 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def _hyperplane_buckets(
+    df: DataFrame, vec_col: str, id_col: str, planes: list, n_bands: int, band_bits: int
+) -> tuple[DataFrame, DataFrame]:
+    """(base: id+double vector, buckets: id/band_id/band_hash) for banded
+    random-hyperplane LSH — the shared candidate machinery of the
+    self-join (embedding_near_dups) and cross-set (embedding_cross_matches)
+    paths; same md5-derived ±1 plane literals, same band-hash bytes."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+
+    def bit(j: int) -> Column:
+        h = F.array(*[F.lit(s) for s in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), h, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(*[bit(b * band_bits + j) for j in range(band_bits)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = base.select("id", F.explode(bands).alias("bd")).select(
+        "id", F.col("bd.band_id"), F.col("bd.band_hash")
+    )
+    return base, buckets
+
+
+def embedding_cross_matches(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """CROSS-SET near matches: (a = left id, b = right id, cosine) for
+    every pair with cosine ≥ threshold — the semantic-decontamination /
+    retrieval-overlap primitive (left = training corpus, right = eval
+    set). Both sides hash through the SAME hyperplane bands, so the join
+    is band-bucket equality — never |left|×|right|; the right side is a
+    benchmark-sized set, so its bucket frame broadcasts.
+
+    Scale mirror of embedding_near_dups: shuffled bytes O(rows × bands)
+    of (id, band_id, band_hash); vectors join back per candidate only."""
+    if dim is None:
+        first = left.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            first = right.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            schema = (
+                f"a {left.schema[id_col].dataType.simpleString()}, "
+                f"b {right.schema[id_col].dataType.simpleString()}, cosine double"
+            )
+            return left.sparkSession.createDataFrame([], schema)
+        dim = first["d"]
+    planes = hyperplane_signs(n_bands * band_bits, dim)
+    lbase, lbuckets = _hyperplane_buckets(left, vec_col, id_col, planes, n_bands, band_bits)
+    rbase, rbuckets = _hyperplane_buckets(right, vec_col, id_col, planes, n_bands, band_bits)
+    pairs = (
+        lbuckets.select(F.col("id").alias("a"), "band_id", "band_hash")
+        .join(
+            F.broadcast(rbuckets.select(F.col("id").alias("b"), "band_id", "band_hash")),
+            ["band_id", "band_hash"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    va = lbase.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = rbase.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "a")
+        .join(F.broadcast(vb), "b")
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
