@@ -338,39 +338,16 @@ def embedding_near_dups(
             return df.sparkSession.createDataFrame([], schema)
         dim = first["d"]
     planes = hyperplane_signs(n_bands * band_bits, dim)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col), v.alias("v"))
-
-    def bit(j: int) -> Column:
-        h = F.array(*[F.lit(s) for s in planes[j]])
-        dot = F.aggregate(
-            F.zip_with(F.col("v"), h, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat(*[bit(b * band_bits + j) for j in range(band_bits)]).alias(
-                    "band_hash"
-                ),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    buckets = base.select(F.col(id_col), F.explode(bands).alias("bd")).select(
-        F.col(id_col), F.col("bd.band_id"), F.col("bd.band_hash")
-    )
+    base, buckets = _hyperplane_buckets(df, vec_col, id_col, planes, n_bands, band_bits)
     pairs = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["band_id", "band_hash"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    va = base.select(F.col(id_col).alias("a"), F.col("v").alias("va"))
-    vb = base.select(F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
     return (
         pairs.join(va, "a")
         .join(vb, "b")
