@@ -533,3 +533,56 @@ def test_commit_rejects_staged_buckets_outside_touched(spark, tmp_path):
         table._commit_generation(table._read_raw(), touched=[0])
     assert table._meta() == before  # manifest untouched by the abort
     assert datasets_equal(table.read(), base)
+
+
+def test_maintenance_ops_lose_cleanly_to_concurrent_upsert(spark, tmp_path):
+    """compact() and redigest() carry the same optimistic-concurrency
+    guard as upsert: a data commit landing while maintenance stages
+    ABORTS the maintenance rewrite — the upsert's rows can never be
+    clobbered by a maintenance generation built from a stale read."""
+    from bcdc2bcdc_spark.sources.lake import ConcurrentWriteError
+
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=150, seed=21))
+    table = HashBucketParquetTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.init(base)
+
+    def _change(content, seq):
+        return (
+            table.read()
+            .limit(1)
+            .withColumn("op", F.lit("UPDATE"))
+            .withColumn("content", F.lit(content))
+            .withColumn("event_seq", F.lit(seq).cast("long"))
+        )
+
+    # several upserts → crowded buckets so compact() has work
+    for i in range(3):
+        table.upsert(_change(f"v{i}", i + 1))
+
+    other = HashBucketParquetTable(spark, table.path, n_buckets=4)
+    orig_stage = table._write_generation
+
+    def _interleaved_stage(df):
+        out = orig_stage(df)
+        other.upsert(_change("concurrent-win", 50))
+        return out
+
+    table._write_generation = _interleaved_stage
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            table.compact(max_files_per_bucket=0)
+    finally:
+        table._write_generation = orig_stage
+    assert "concurrent-win" in {r["content"] for r in table.read().collect()}
+
+    # redigest: force a digest_cols gap, then race it the same way
+    meta = table._meta()
+    meta["digest_cols"] = ["content"]  # stale vs compare set
+    table._write_meta(meta)
+    table._write_generation = _interleaved_stage
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            table.redigest()
+    finally:
+        table._write_generation = orig_stage
+    assert "concurrent-win" in {r["content"] for r in table.read().collect()}
