@@ -21,6 +21,7 @@ event-time windowed per-repo counts with a configurable lateness bound.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -224,4 +225,28 @@ def lww_state_stream(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
         stateStructType=LWW_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+def stream_exact_dedup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    key_cols: Sequence[str] = ("repo", "path", "commit", "event_seq"),
+) -> DataFrame:
+    """Exact duplicate-event suppression for AT-LEAST-ONCE sources
+    (redelivered log records, replayed file drops): keep the first
+    occurrence of each event identity inside the watermark horizon via
+    ``dropDuplicatesWithinWatermark`` — state per key is bounded by the
+    watermark (evicted once the event time passes out of the horizon),
+    unlike plain ``dropDuplicates`` whose streaming state grows forever.
+
+    This is upstream hygiene, not LWW: it removes REDELIVERIES of the
+    same event; conflicting versions of a key still flow through and are
+    resolved downstream (lww_state_stream or the batch pipeline). The
+    engine's upsert is idempotent anyway — this just stops duplicate
+    volume from inflating every downstream shuffle.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
     )

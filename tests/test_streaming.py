@@ -310,3 +310,52 @@ def test_lww_state_stream_matches_batch_lww(spark, tmp_path):
     want = sorted(map(tuple, expect.collect()))
     assert got == want
     ev.unpersist()
+
+
+def test_stream_exact_dedup_suppresses_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: the same event identity
+    redelivered across micro-batches is emitted ONCE; a genuinely new
+    version of the key (different commit/seq) still flows through."""
+    from pyspark.sql import types as T
+
+    from bcdc2bcdc_spark.streaming.stream import stream_exact_dedup
+
+    schema = T.StructType(
+        list(EVENTS_SCHEMA.fields) + [T.StructField("ts", T.TimestampType())]
+    )
+
+    def _ev(commit, seq, content, ts_s):
+        import datetime
+
+        return (
+            "r1", "p1", commit, "py", content, "UPDATE", seq,
+            datetime.datetime(2026, 1, 1, 0, 0, ts_s),
+        )
+
+    events_dir = str(tmp_path / "dedup_in")
+    os.makedirs(events_dir, exist_ok=True)
+    batches = [
+        [_ev("c1", 1, "x", 1), _ev("c1", 1, "x", 1)],  # in-batch duplicate
+        [_ev("c1", 1, "x", 2)],                         # cross-batch redelivery
+        [_ev("c2", 2, "y", 3)],                         # genuinely new event
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            events_dir
+        )
+    emitted = []
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        events_dir
+    )
+    q = (
+        stream_exact_dedup(sdf, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _b: emitted.extend(
+            (r["commit"], r["event_seq"]) for r in bdf.collect()
+        ))
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(emitted) == [("c1", 1), ("c2", 2)]
