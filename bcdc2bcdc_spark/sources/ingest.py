@@ -1,0 +1,100 @@
+"""Ingest-side sources: JSONL event files and paged REST-style fetch.
+
+The reference consumes entity snapshots as JSON over a paged REST API
+(``CKAN.py:208-257`` ``getPackageNames`` — 500/page until a short page,
+with a broken-paging fallback that detects the SAME page repeating,
+``CKAN.py:102-124``). The engine's equivalents:
+
+* ``read_events_jsonl`` — schema-enforced JSONL scan with malformed-line
+  QUARANTINE (PERMISSIVE + corrupt-record column): bad producer output
+  lands in a reviewable frame instead of failing the job or silently
+  nulling. Distributed (``spark.read.json``), predicate/column pruning
+  apply as usual.
+* ``fetch_paged`` — the driver-side paged-API shape: pull pages through
+  a user callable until a short/empty page, detecting broken paging
+  (identical page repeated) exactly like the reference, then
+  parallelize the accumulated rows. At 100 TB you do NOT page a REST
+  API — but catalog/control-plane fetches (the reference's entire
+  problem) are bounded metadata, and the docstring documents the
+  executor-parallel variant for when the endpoint supports offset
+  ranges (spark.range(n_pages) + mapInPandas fetch per partition).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from bcdc2bcdc_spark.schema import EVENTS_SCHEMA
+
+#: column that captures the raw text of unparseable lines
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_events_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) frames from JSONL event files.
+
+    A line that fails to parse — or parses to the wrong shape — appears
+    ONLY in the quarantine frame (raw text preserved for review); good
+    rows carry exactly ``schema``. Mirrors the pipeline's
+    quarantine-malformed stage at the ingest boundary."""
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        # PERMISSIVE corrupt-record capture requires materializing the
+        # corrupt column before filtering on it (Spark caches the parsed
+        # batch) — the cache() scopes that requirement to this read.
+        .cache()
+    )
+    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantined = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
+    )
+    return good, quarantined
+
+
+class BrokenPagingError(RuntimeError):
+    """The endpoint returned the identical page twice (ignored offset)."""
+
+
+def fetch_paged(
+    spark: SparkSession,
+    fetch_page: Callable[[int, int], Sequence[dict]],
+    schema: T.StructType,
+    page_size: int = 500,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """Pull ``fetch_page(offset, limit)`` until a short or empty page and
+    parallelize the rows (reference S1). Detects broken paging — the
+    endpoint returning the IDENTICAL page for a new offset — and raises
+    instead of looping or silently duplicating (the reference falls back
+    to its alternate pager on this signal; callers here can catch
+    ``BrokenPagingError`` and do the same)."""
+    rows: list[dict] = []
+    prev_page: Sequence[dict] | None = None
+    for page_no in range(max_pages):
+        page = list(fetch_page(page_no * page_size, page_size))
+        if prev_page is not None and page and page == prev_page:
+            raise BrokenPagingError(
+                f"page at offset {page_no * page_size} identical to the "
+                "previous page — endpoint ignores the offset parameter"
+            )
+        rows.extend(page)
+        if len(page) < page_size:
+            break
+        prev_page = page
+    else:
+        raise RuntimeError(f"pagination did not terminate within {max_pages} pages")
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
