@@ -2775,3 +2775,71 @@ SQL_SEMANTIC_DECONTAM = _semantic_decontam_sql()
 
 QUERIES["semantic_decontam"] = q_semantic_decontam
 ORACLES["semantic_decontam"] = SQL_SEMANTIC_DECONTAM
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest — quarantine split as a hard signal
+# ---------------------------------------------------------------------------
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-boundary hard signal: orders become a REAL JSONL file in
+    session temp — valid JSON per row except orderkey % 13 = 0, which
+    writes a deliberately unparseable line — read back through
+    sources/ingest.read_events_jsonl (PERMISSIVE + corrupt-record
+    quarantine). Returns the GOOD rows plus one summary row carrying the
+    quarantine count (orderkey = -1), so both sides of the split are
+    checked; the oracle reconstructs the whole thing from orders."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bcdc2bcdc_spark.sources.ingest import read_events_jsonl
+
+    d = tempfile.mkdtemp(prefix="cdc_jsonl_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    o = load(spark, sf_dir, "orders")
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(F.lit("garbage line "), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.col("o_orderpriority").alias("priority"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    lines.coalesce(4).write.mode("overwrite").text(f"{d}/events")
+    schema = T.StructType(
+        [
+            T.StructField("orderkey", T.LongType()),
+            T.StructField("priority", T.StringType()),
+        ]
+    )
+    good, quarantined = read_events_jsonl(spark, f"{d}/events", schema=schema)
+    summary = quarantined.agg(
+        F.lit(-1).cast("long").alias("orderkey"),
+        F.concat(F.lit("quarantined="), F.count(F.lit(1)).cast("string")).alias(
+            "priority"
+        ),
+    )
+    return good.select("orderkey", "priority").unionByName(summary)
+
+
+SQL_JSONL_INGEST = """
+    SELECT o_orderkey AS orderkey, o_orderpriority AS priority
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           'quarantined=' || CAST(COUNT(*) AS VARCHAR)
+    FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+QUERIES["jsonl_ingest"] = q_jsonl_ingest
+ORACLES["jsonl_ingest"] = SQL_JSONL_INGEST
