@@ -2843,3 +2843,76 @@ SQL_JSONL_INGEST = """
 
 QUERIES["jsonl_ingest"] = q_jsonl_ingest
 ORACLES["jsonl_ingest"] = SQL_JSONL_INGEST
+
+
+# ---------------------------------------------------------------------------
+# time travel — versioned reads equal independent prefix replays
+# ---------------------------------------------------------------------------
+
+def q_time_travel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a hard signal: the pipeline applies the event log in
+    two epochs (one atomic commit each); reading the LAST TWO manifest
+    versions back must reproduce, respectively, the SQL replay of the
+    epoch-0 PREFIX of the log and of the full log — i.e. every historical
+    snapshot equals an independent replay up to its commit point. Same
+    real-storage machinery as pipeline_e2e; rows are tagged with their
+    version ordinal and returned via session-temp parquet (no driver
+    collect)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+    from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    work = tempfile.mkdtemp(prefix="cdc_tt_")
+    out = tempfile.mkdtemp(prefix="cdc_tt_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    try:
+        ev = cdc_events(spark, sf_dir)
+        half = _half_seq_dir(spark, sf_dir)
+        ev = ev.withColumnRenamed("commit_id", "commit").withColumn(
+            "epoch", F.when(F.col("event_seq") <= half, F.lit(0)).otherwise(F.lit(1))
+        )
+        table = HashBucketParquetTable(
+            spark, f"{work}/lake", n_buckets=16, retain_generations=8
+        )
+        table.init(spark.createDataFrame([], REPOS_SCHEMA))
+        pipe = CDCPipeline(
+            table=table,
+            checkpoints=CheckpointStore(f"{work}/ckpt"),
+            digest_impl="arrow",
+            order_cols=LWW_ORDER_COMMIT,
+        )
+        pipe.run(ev)
+        # one commit per epoch → the last two manifest versions ARE the
+        # epoch-0 and epoch-0+1 snapshots
+        seqs = table.versions()[-2:]
+        parts = [
+            table.read_version(seq)
+            .select("repo", "path", "lang", "content")
+            .withColumn("version", F.lit(i).cast("long"))
+            for i, seq in enumerate(seqs)
+        ]
+        u = parts[0].unionByName(parts[1])
+        u.write.mode("overwrite").parquet(f"{out}/result")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+SQL_TIME_TRAVEL_E2E = f"""
+    SELECT repo, path, lang, content, CAST(0 AS BIGINT) AS version
+    FROM ({{half_snap}})
+    UNION ALL
+    SELECT repo, path, lang, content, CAST(1 AS BIGINT) AS version
+    FROM ({{full_snap}})
+""".format(
+    half_snap=SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}"),
+    full_snap=SNAP_SQL.format(ev=EV_SQL, where=""),
+)
+
+QUERIES["time_travel_e2e"] = q_time_travel_e2e
+ORACLES["time_travel_e2e"] = SQL_TIME_TRAVEL_E2E
