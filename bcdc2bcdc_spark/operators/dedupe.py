@@ -329,14 +329,10 @@ def embedding_near_dups(
     Exact cosine (double, sequential fold) filters candidates.
     """
     if dim is None:
-        # dim inference triggers one bounded Spark job at plan-construction
-        # time; pass dim explicitly to keep construction lazy (or when the
-        # input may be empty).
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
+        dim = _infer_dim(df, vec_col=vec_col)
+        if dim is None:  # empty (or all-NULL) corpus → no pairs
             schema = f"a {df.schema[id_col].dataType.simpleString()}, b {df.schema[id_col].dataType.simpleString()}, cosine double"
             return df.sparkSession.createDataFrame([], schema)
-        dim = first["d"]
     planes = hyperplane_signs(n_bands * band_bits, dim)
     base, buckets = _hyperplane_buckets(df, vec_col, id_col, planes, n_bands, band_bits)
     pairs = (
@@ -355,6 +351,25 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def _infer_dim(*frames, vec_col: str) -> int | None:
+    """Embedding dimensionality from the first NON-NULL vector across the
+    given frames (one bounded Spark job per probed frame; pass dim
+    explicitly to keep plan construction lazy). None ⟺ no vectors —
+    a NULL first row must not masquerade as a dimension (F.size of NULL
+    is NULL, and building hyperplanes from it would crash downstream)."""
+    from pyspark.sql import functions as F
+
+    for df in frames:
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
+        if first is not None and first["d"] is not None:
+            return int(first["d"])
+    return None
 
 
 def _hyperplane_buckets(
@@ -411,16 +426,13 @@ def embedding_cross_matches(
     Scale mirror of embedding_near_dups: shuffled bytes O(rows × bands)
     of (id, band_id, band_hash); vectors join back per candidate only."""
     if dim is None:
-        first = left.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            first = right.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
+        dim = _infer_dim(left, right, vec_col=vec_col)
+        if dim is None:  # both sides empty/all-NULL → no matches
             schema = (
                 f"a {left.schema[id_col].dataType.simpleString()}, "
                 f"b {right.schema[id_col].dataType.simpleString()}, cosine double"
             )
             return left.sparkSession.createDataFrame([], schema)
-        dim = first["d"]
     planes = hyperplane_signs(n_bands * band_bits, dim)
     lbase, lbuckets = _hyperplane_buckets(left, vec_col, id_col, planes, n_bands, band_bits)
     rbase, rbuckets = _hyperplane_buckets(right, vec_col, id_col, planes, n_bands, band_bits)

@@ -38,8 +38,14 @@ def pack_sequences(
     documents occupy zero tokens: they get their stream position with
     ``n_seqs = 0``.
 
-    Output: input columns + ``shard, start_tok, seq_first, n_seqs``
-    (all deterministic — same input, same packing, any partitioning).
+    Output: input columns + ``shard, start_tok, seq_first, n_seqs``.
+    Deterministic — same input, same packing, any partitioning — provided
+    ``id_col`` is unique within a shard (the normal case: it is the
+    document key). With duplicate ids the window order ties and only
+    rows whose (id, token count) both tie are interchangeable — those
+    produce identical output rows either way; duplicate ids with
+    different payloads have no defined concatenation order and the
+    assignment between them is partitioning-dependent.
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be ≥ 1, got {seq_len}")
@@ -50,7 +56,10 @@ def pack_sequences(
     out = df.withColumn("shard", shard.cast("long"))
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.col(id_col).asc())
+        # tokens_col as tiebreak: equal-(id, tokens) rows become
+        # interchangeable, making the output a deterministic multiset
+        # even under duplicate ids
+        .orderBy(F.col(id_col).asc(), F.col(tokens_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     t = F.col(tokens_col).cast("long")

@@ -39,27 +39,35 @@ def read_events_jsonl(
 ) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined) frames from JSONL event files.
 
-    A line that fails to parse — or parses to the wrong shape — appears
-    ONLY in the quarantine frame (raw text preserved for review); good
-    rows carry exactly ``schema``. Mirrors the pipeline's
-    quarantine-malformed stage at the ingest boundary."""
-    read_schema = T.StructType(
+    A line that fails to parse appears ONLY in the quarantine frame (raw
+    text preserved for review); good rows carry exactly ``schema``.
+    Mirrors the pipeline's quarantine-malformed stage at the ingest
+    boundary.
+
+    Implementation: lines read as text, parsed with ``from_json`` whose
+    schema carries the corrupt-record column (non-NULL ⟺ the line failed
+    to parse; a bare NULL-struct test cannot work — PERMISSIVE from_json
+    yields an all-NULL struct for malformed input). Both frames are
+    ordinary lazy plans over the file, so nothing is cached: the JSON
+    *datasource*'s corrupt-record filter requires caching the parsed
+    batch (pinning the whole input in executor storage), but from_json
+    over a text scan has no such restriction."""
+    parse_schema = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
     )
-    raw = (
-        spark.read.schema(read_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-        # PERMISSIVE corrupt-record capture requires materializing the
-        # corrupt column before filtering on it (Spark caches the parsed
-        # batch) — the cache() scopes that requirement to this read.
-        .cache()
+    parsed = spark.read.text(path).select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("rec"),
     )
-    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    quarantined = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw")
+    bad = F.col("rec").getField(CORRUPT_COL).isNotNull()
+    good = parsed.filter(~bad).select(
+        *[F.col("rec").getField(f.name).alias(f.name) for f in schema.fields]
     )
+    quarantined = parsed.filter(bad).select(F.col("value").alias("raw"))
     return good, quarantined
 
 

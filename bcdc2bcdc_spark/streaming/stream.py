@@ -232,7 +232,9 @@ def stream_exact_dedup(
     events: DataFrame,
     ts_col: str = "ts",
     watermark: str = "10 minutes",
-    key_cols: Sequence[str] = ("repo", "path", "commit", "event_seq"),
+    key_cols: Sequence[str] = (
+        "repo", "path", "commit", "event_seq", "lang", "content", "op",
+    ),
 ) -> DataFrame:
     """Exact duplicate-event suppression for AT-LEAST-ONCE sources
     (redelivered log records, replayed file drops): keep the first
@@ -246,6 +248,14 @@ def stream_exact_dedup(
     resolved downstream (lww_state_stream or the batch pipeline). The
     engine's upsert is idempotent anyway — this just stops duplicate
     volume from inflating every downstream shuffle.
+
+    The default identity covers the FULL event payload, not just
+    (commit, event_seq): derived logs can carry distinct events with
+    identical sequence identifiers (the same non-uniqueness LWW's total
+    order extends over), and a narrower key would silently drop one of
+    them — arbitrarily, so a stream run could diverge from the batch
+    replay. Narrow ``key_cols`` only when event identity is genuinely
+    unique upstream.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
