@@ -21,6 +21,8 @@ Integer-only value derivations keep Spark/DuckDB results bit-identical.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must
+# resolve in module globals under `from __future__ import annotations`
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from bcdc2bcdc_spark.operators.lww import lww_dedup
@@ -2916,3 +2918,123 @@ SQL_TIME_TRAVEL_E2E = f"""
 
 QUERIES["time_travel_e2e"] = q_time_travel_e2e
 ORACLES["time_travel_e2e"] = SQL_TIME_TRAVEL_E2E
+
+
+# ---------------------------------------------------------------------------
+# Arrow UDAF + cogroup surface
+# ---------------------------------------------------------------------------
+
+def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 UDAF surface as a hard signal: a REAL pandas grouped-agg UDAF
+    (Arrow-vectorized, partial-agg per group) computes the
+    linenumber-weighted quantity sum per return flag — integer arithmetic
+    end to end (int64 in pandas, BIGINT in the oracle), so the value hash
+    cannot drift on float summation order."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def wsum(qty: pd.Series, w: pd.Series) -> int:
+        return int((qty.astype("int64") * w.astype("int64")).sum())
+
+    @pandas_udf(T.LongType())
+    def nrows(qty: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+        # agg() — the count rides the same Arrow path
+        return int(len(qty))
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.col("l_linenumber").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag")
+        .agg(wsum("q", "w").alias("wsum"), nrows("q").alias("n"))
+    )
+
+
+SQL_UDAF_WEIGHTED = """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT) AS wsum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 cogroup surface: the src/dest halves of the event log are
+    COGROUPED per key through applyInPandas (two Arrow batches per key,
+    one Python function) and reconciled — which side holds the LWW
+    winner, or 'tie' when both halves end at the same total order. The
+    oracle reproduces the verdict with two window-ranked halves and a
+    full-outer join."""
+    ev = cdc_events(spark, sf_dir).withColumnRenamed("commit_id", "commit")
+    half = _half_seq_dir(spark, sf_dir)
+    src = ev  # full log
+    dest = ev.filter(F.col("event_seq") <= half)
+    order = ["commit", "event_seq", "lang", "content", "op"]
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        def top(pdf):
+            if not len(pdf):
+                return None
+            s = pdf.sort_values(order, ascending=False, na_position="last")
+            return tuple(s.iloc[0][order])
+
+        a, b = top(left), top(right)
+        if a is None and b is None:
+            return pd.DataFrame(columns=["repo", "path", "verdict"])
+        verdict = (
+            "src_only" if b is None else
+            "dest_only" if a is None else
+            "tie" if a == b else
+            "src" if a > b else "dest"
+        )
+        return pd.DataFrame(
+            {"repo": [key[0]], "path": [key[1]], "verdict": [verdict]}
+        )
+
+    return (
+        src.groupBy("repo", "path")
+        .cogroup(dest.groupBy("repo", "path"))
+        .applyInPandas(reconcile, "repo string, path string, verdict string")
+    )
+
+
+SQL_COGROUP_RECONCILE = f"""
+    WITH ranked_src AS (
+      SELECT repo, path, commit_id, event_seq, lang, content, op,
+             ROW_NUMBER() OVER (PARTITION BY repo, path
+               ORDER BY commit_id DESC, event_seq DESC, lang DESC NULLS LAST,
+                        content DESC NULLS LAST, op DESC NULLS LAST) AS rn
+      FROM ({EV_SQL})
+    ),
+    ranked_dest AS (
+      SELECT repo, path, commit_id, event_seq, lang, content, op,
+             ROW_NUMBER() OVER (PARTITION BY repo, path
+               ORDER BY commit_id DESC, event_seq DESC, lang DESC NULLS LAST,
+                        content DESC NULLS LAST, op DESC NULLS LAST) AS rn
+      FROM ({EV_SQL}) WHERE event_seq <= {HALF_SQL}
+    ),
+    s AS (SELECT * FROM ranked_src WHERE rn = 1),
+    d AS (SELECT * FROM ranked_dest WHERE rn = 1)
+    SELECT COALESCE(s.repo, d.repo) AS repo,
+           COALESCE(s.path, d.path) AS path,
+           CASE WHEN d.repo IS NULL THEN 'src_only'
+                WHEN s.repo IS NULL THEN 'dest_only'
+                WHEN (s.commit_id, s.event_seq, s.lang, s.content, s.op)
+                     = (d.commit_id, d.event_seq, d.lang, d.content, d.op) THEN 'tie'
+                WHEN (s.commit_id, s.event_seq, s.lang, s.content, s.op)
+                     > (d.commit_id, d.event_seq, d.lang, d.content, d.op) THEN 'src'
+                ELSE 'dest' END AS verdict
+    FROM s FULL OUTER JOIN d ON s.repo = d.repo AND s.path = d.path
+"""
+
+QUERIES.update(
+    {"udaf_weighted": q_udaf_weighted, "cogroup_reconcile": q_cogroup_reconcile}
+)
+ORACLES.update(
+    {"udaf_weighted": SQL_UDAF_WEIGHTED, "cogroup_reconcile": SQL_COGROUP_RECONCILE}
+)
