@@ -27,6 +27,27 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from bcdc2bcdc_spark.operators.lww import lww_dedup
 
+_SESSION_TMP_ROOT: list[str] = []
+
+
+def _session_tmp(name: str) -> str:
+    """Stable per-query scratch dir under ONE atexit-removed session root:
+    repeated invocations (bench best-of-N, parity sweeps) overwrite the
+    same path instead of accumulating a full result copy per call.
+    Queries run serially in the driver/bench, so reuse is safe."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if not _SESSION_TMP_ROOT:
+        root = tempfile.mkdtemp(prefix="cdc_contract_tmp_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SESSION_TMP_ROOT.append(root)
+    d = os.path.join(_SESSION_TMP_ROOT[0], name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
 # ---------------------------------------------------------------------------
 # shared derivation: CDC event view over lineitem
 # ---------------------------------------------------------------------------
@@ -618,25 +639,35 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"), shingle_n=3)
 
 
-def _minhash_sql(num_hashes: int = 8, band_size: int = 2) -> str:
-    mh_cols = ",\n           ".join(
+def _minhash_pairs_from_sql(toks_cte: str, num_hashes: int = 8, band_size: int = 2) -> str:
+    """Banded-minhash candidate pairs over a named shingle CTE."""
+    mh_cols = ",\n               ".join(
         f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(num_hashes)
     )
-    bands = "\n           UNION ALL\n           ".join(
+    bands = "\n               UNION ALL\n               ".join(
         "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM sig".format(
             b=b,
             h=" || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
         )
         for b in range(num_hashes // band_size)
     )
+    return f"""(
+      WITH sig AS (SELECT doc_id, {mh_cols} FROM {toks_cte} GROUP BY doc_id),
+           buckets AS ({bands})
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM buckets x JOIN buckets y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    )"""
+
+
+def _minhash_sql(num_hashes: int = 8, band_size: int = 2) -> str:
+    """Banded-minhash pairs over the documents shingles — delegates to
+    the ONE parameterized construction (_minhash_pairs_from_sql) so the
+    standalone oracle and every composed oracle share the same SQL."""
     return f"""
-    WITH toks AS ({_SHINGLES_SQL}),
-         sig AS (SELECT doc_id, {mh_cols} FROM toks GROUP BY doc_id),
-         buckets AS ({bands})
-    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-    FROM buckets x JOIN buckets y
-      ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-     AND x.doc_id < y.doc_id
+    WITH toks AS ({_SHINGLES_SQL})
+    SELECT * FROM {_minhash_pairs_from_sql("toks", num_hashes, band_size)}
 """
 
 
@@ -1883,7 +1914,6 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     through real storage). The result is written to a session-temp parquet
     OUTSIDE the removed workdir and returned as a scan — never an O(table)
     driver collect, so this stays safe at any sf."""
-    import atexit
     import shutil
     import tempfile
 
@@ -1893,8 +1923,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
 
     work = tempfile.mkdtemp(prefix="cdc_contract_")
-    out = tempfile.mkdtemp(prefix="cdc_contract_out_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    out = _session_tmp("pipeline_e2e")
     try:
         ev = cdc_events(spark, sf_dir)
         half = _half_seq_dir(spark, sf_dir)
@@ -2074,6 +2103,37 @@ ORACLES.update(
 # dedup clustering — connected components over near-dup pairs → kept corpus
 # ---------------------------------------------------------------------------
 
+def _components_ctes(vertex_src: str, pairs_sql: str) -> str:
+    """The ONE copy of the recursive min-label reachability oracle:
+    pairs → symmetric edges → reach fixpoint → clusters (min reachable
+    id per vertex). Splice into a WITH RECURSIVE chain."""
+    return f"""pairs AS ({pairs_sql}),
+      edges AS (SELECT a AS src, b AS dst FROM pairs
+                UNION SELECT b, a FROM pairs),
+      reach (src, lbl) AS (
+        SELECT doc_id, doc_id FROM {vertex_src}
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+      ),
+      clusters AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
+                   FROM reach GROUP BY src)"""
+
+
+def _ranked_kept_ctes(doc_src: str, extra_cols: tuple = ()) -> str:
+    """The ONE copy of the representative-selection oracle: rank cluster
+    members (longest text, ties min id), keep rank 1 with cluster size."""
+    extras = "".join(f" d.{c}," for c in extra_cols)
+    return f"""ranked AS (
+        SELECT d.doc_id,{extras} c.cluster_id,
+               length(d.text) AS kept_len,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        FROM {doc_src} d JOIN clusters c USING (doc_id)
+      ),
+      kept AS (SELECT * FROM ranked WHERE rn = 1)"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: MinHash-LSH candidate pairs (the
     dedup_minhash generator, unchanged) fed through the iterative
@@ -2091,15 +2151,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_CLUSTERS = f"""
     WITH RECURSIVE
-      pairs AS ({SQL_DEDUP_MINHASH}),
-      edges AS (SELECT a AS src, b AS dst FROM pairs
-                UNION SELECT b, a FROM pairs),
-      reach (src, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
-      )
-    SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY src
+      {_components_ctes("documents", SQL_DEDUP_MINHASH)}
+    SELECT doc_id, cluster_id FROM clusters
 """
 
 
@@ -2126,28 +2179,12 @@ def q_corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_DEDUP_KEEP = f"""
     WITH RECURSIVE
-      pairs AS ({SQL_DEDUP_MINHASH}),
-      edges AS (SELECT a AS src, b AS dst FROM pairs
-                UNION SELECT b, a FROM pairs),
-      reach (src, lbl) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
-      ),
-      clusters AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
-                   FROM reach GROUP BY src),
-      ranked AS (
-        SELECT d.doc_id, c.cluster_id,
-               length(d.text) AS kept_len,
-               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-                                  ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn,
-               COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
-        FROM documents d JOIN clusters c USING (doc_id)
-      )
+      {_components_ctes("documents", SQL_DEDUP_MINHASH)},
+      {_ranked_kept_ctes("documents")}
     SELECT doc_id, cluster_id,
            CAST(cluster_size AS BIGINT) AS cluster_size,
            CAST(kept_len AS BIGINT) AS kept_len
-    FROM ranked WHERE rn = 1
+    FROM kept
 """
 
 QUERIES.update(
@@ -2533,28 +2570,6 @@ ORACLES["ref_config_pipeline"] = SQL_REF_CONFIG_PIPELINE
 # (shingle SQL: the shared _shingles_from_sql above the decontam section)
 # ---------------------------------------------------------------------------
 
-def _minhash_pairs_from_sql(toks_cte: str, num_hashes: int = 8, band_size: int = 2) -> str:
-    """Banded-minhash candidate pairs over a named shingle CTE."""
-    mh_cols = ",\n               ".join(
-        f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(num_hashes)
-    )
-    bands = "\n               UNION ALL\n               ".join(
-        "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM sig".format(
-            b=b,
-            h=" || '|' || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
-        )
-        for b in range(num_hashes // band_size)
-    )
-    return f"""(
-      WITH sig AS (SELECT doc_id, {mh_cols} FROM {toks_cte} GROUP BY doc_id),
-           buckets AS ({bands})
-      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-      FROM buckets x JOIN buckets y
-        ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-       AND x.doc_id < y.doc_id
-    )"""
-
-
 #: SQL mirror of functions/text.quality_score (term-for-term, the
 #: text_quality-proven form) as a scalar over (text)
 _QUALITY_SQL = r"""
@@ -2624,25 +2639,8 @@ def _corpus_pipeline_sql() -> str:
                  SELECT *, {hx} AS hx FROM q)
                WHERE {u} < CASE lang {cases} ELSE 0.2 END),
       stoks AS ({_shingles_from_sql("samp")}),
-      pairs AS ({_minhash_pairs_from_sql("stoks")}),
-      edges AS (SELECT a AS src, b AS dst FROM pairs
-                UNION SELECT b, a FROM pairs),
-      reach (src, lbl) AS (
-        SELECT doc_id, doc_id FROM samp
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
-      ),
-      clusters AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id
-                   FROM reach GROUP BY src),
-      ranked AS (
-        SELECT s.doc_id, s.lang, s.n_chars, s.text, c.cluster_id,
-               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-                                  ORDER BY length(s.text) DESC, s.doc_id ASC) AS rn,
-               COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
-        FROM samp s JOIN clusters c USING (doc_id)
-      ),
-      kept AS (SELECT doc_id, lang, n_chars, text, cluster_id, cluster_size
-               FROM ranked WHERE rn = 1),
+      {_components_ctes("samp", _minhash_pairs_from_sql("stoks"))},
+      {_ranked_kept_ctes("samp", ("lang", "n_chars", "text"))},
       ktoks AS ({_shingles_from_sql("kept")}),
       etoks AS ({_shingles_from_sql(f"(SELECT doc_id, text FROM documents WHERE {_EVAL_PRED})")}),
       flagged AS (SELECT DISTINCT k.doc_id
@@ -2791,16 +2789,11 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantine). Returns the GOOD rows plus one summary row carrying the
     quarantine count (orderkey = -1), so both sides of the split are
     checked; the oracle reconstructs the whole thing from orders."""
-    import atexit
-    import shutil
-    import tempfile
-
     from pyspark.sql import types as T
 
     from bcdc2bcdc_spark.sources.ingest import read_events_jsonl
 
-    d = tempfile.mkdtemp(prefix="cdc_jsonl_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    d = _session_tmp("jsonl_ingest")
     o = load(spark, sf_dir, "orders")
     lines = o.select(
         F.when(
@@ -2860,7 +2853,6 @@ def q_time_travel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     real-storage machinery as pipeline_e2e; rows are tagged with their
     version ordinal and returned via session-temp parquet (no driver
     collect)."""
-    import atexit
     import shutil
     import tempfile
 
@@ -2870,8 +2862,7 @@ def q_time_travel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
 
     work = tempfile.mkdtemp(prefix="cdc_tt_")
-    out = tempfile.mkdtemp(prefix="cdc_tt_out_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    out = _session_tmp("time_travel_e2e")
     try:
         ev = cdc_events(spark, sf_dir)
         half = _half_seq_dir(spark, sf_dir)
@@ -2974,14 +2965,20 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = _half_seq_dir(spark, sf_dir)
     src = ev  # full log
     dest = ev.filter(F.col("event_seq") <= half)
-    order = ["commit", "event_seq", "lang", "content", "op"]
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # the engine's one null-safe total order (desc_nulls_last
+        # encoding) — raw tuple compare would raise TypeError on a
+        # None-vs-str column when (commit, event_seq) tie
+        from bcdc2bcdc_spark.streaming.stream import _ord_key
+
         def top(pdf):
             if not len(pdf):
                 return None
-            s = pdf.sort_values(order, ascending=False, na_position="last")
-            return tuple(s.iloc[0][order])
+            return max(
+                _ord_key(r.commit, r.event_seq, r.lang, r.content, r.op)
+                for r in pdf.itertuples()
+            )
 
         a, b = top(left), top(right)
         if a is None and b is None:
@@ -3024,10 +3021,18 @@ SQL_COGROUP_RECONCILE = f"""
            COALESCE(s.path, d.path) AS path,
            CASE WHEN d.repo IS NULL THEN 'src_only'
                 WHEN s.repo IS NULL THEN 'dest_only'
-                WHEN (s.commit_id, s.event_seq, s.lang, s.content, s.op)
-                     = (d.commit_id, d.event_seq, d.lang, d.content, d.op) THEN 'tie'
-                WHEN (s.commit_id, s.event_seq, s.lang, s.content, s.op)
-                     > (d.commit_id, d.event_seq, d.lang, d.content, d.op) THEN 'src'
+                WHEN (s.commit_id, s.event_seq, s.lang IS NOT NULL,
+                      COALESCE(s.lang, ''), s.content IS NOT NULL,
+                      COALESCE(s.content, ''), s.op)
+                     = (d.commit_id, d.event_seq, d.lang IS NOT NULL,
+                        COALESCE(d.lang, ''), d.content IS NOT NULL,
+                        COALESCE(d.content, ''), d.op) THEN 'tie'
+                WHEN (s.commit_id, s.event_seq, s.lang IS NOT NULL,
+                      COALESCE(s.lang, ''), s.content IS NOT NULL,
+                      COALESCE(s.content, ''), s.op)
+                     > (d.commit_id, d.event_seq, d.lang IS NOT NULL,
+                        COALESCE(d.lang, ''), d.content IS NOT NULL,
+                        COALESCE(d.content, ''), d.op) THEN 'src'
                 ELSE 'dest' END AS verdict
     FROM s FULL OUTER JOIN d ON s.repo = d.repo AND s.path = d.path
 """

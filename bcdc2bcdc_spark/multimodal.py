@@ -195,7 +195,9 @@ def decode_wav(data: bytes) -> dict:
     return {
         "n_channels": n_channels,
         "sample_rate": rate,
-        "n_samples": int(samples.size) // n_channels * n_channels,
+        # FRAMES, not interleaved samples (identical for mono); min/max/
+        # sum intentionally span all channels
+        "n_samples": int(samples.size) // max(n_channels, 1),
         "sample_min": int(samples.min()) if samples.size else 0,
         "sample_max": int(samples.max()) if samples.size else 0,
         "sample_sum": int(samples.sum(dtype=np.int64)),

@@ -35,6 +35,16 @@ class LocalFS:
         if os.path.isdir(dir_path):
             shutil.rmtree(dir_path)
 
+    def dir_age_s(self, dir_path: str) -> float:
+        """Seconds since the directory was last modified (inf if gone) —
+        used by the lake sweep's in-flight-staging grace period."""
+        import time
+
+        try:
+            return max(0.0, time.time() - os.path.getmtime(dir_path))
+        except OSError:
+            return float("inf")
+
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
 

@@ -63,7 +63,10 @@ def read_events_jsonl(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
         ).alias("rec"),
     )
-    bad = F.col("rec").getField(CORRUPT_COL).isNotNull()
+    # a blank/whitespace line parses to a NULL rec struct (no corrupt
+    # field populated) — it must land in quarantine, not vanish: a bare
+    # corrupt-field test is NULL there and both filters would drop it
+    bad = F.col("rec").isNull() | F.col("rec").getField(CORRUPT_COL).isNotNull()
     good = parsed.filter(~bad).select(
         *[F.col("rec").getField(f.name).alias(f.name) for f in schema.fields]
     )

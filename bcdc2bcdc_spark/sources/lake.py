@@ -101,8 +101,17 @@ class HashBucketParquetTable:
     #: that lost its last manifest reference at commit S is deleted only
     #: once commit_seq ≥ S + retain_generations, so reader plans pinned to
     #: an older manifest survive that many subsequent commits. Crashed
-    #: never-referenced stagings are swept at the next commit regardless.
+    #: never-referenced stagings are swept at the next commit once they
+    #: age past ``staging_grace_s``.
     retain_generations: int = 2
+    #: a concurrent writer's staging is an UNREFERENCED dir while its
+    #: (possibly multi-minute) Spark write job runs — the sweep must not
+    #: delete it out from under the job, or the loser dies with a random
+    #: I/O error instead of the ConcurrentWriteError retry signal. An
+    #: unreferenced dir is only swept once idle for this long; crashed
+    #: orphans age past it naturally. Size it above the longest expected
+    #: single write job.
+    staging_grace_s: float = 900.0
 
     @property
     def data_path(self) -> str:
@@ -181,8 +190,17 @@ class HashBucketParquetTable:
         meta = self._meta()
         keep = set(meta.get("buckets", {}).values()) | set(meta.get("retired", {}))
         for d in self.fs.list_subdirs(self.data_path):
-            if d not in keep:
-                self.fs.remove_dir(os.path.join(self.data_path, d))
+            if d in keep:
+                continue
+            full = os.path.join(self.data_path, d)
+            # grace period: an unreferenced dir may be a CONCURRENT
+            # writer's in-flight staging (its write job is still
+            # appending) — only sweep once it has been idle long enough
+            # that it can only be a crashed orphan or a lost racer whose
+            # commit already aborted.
+            if self.fs.dir_age_s(full) < self.staging_grace_s:
+                continue
+            self.fs.remove_dir(full)
 
     def _meta(self) -> dict:
         return self.fs.read_json(self.meta_path)

@@ -67,3 +67,21 @@ def test_fetch_paged_empty(spark):
     schema = T.StructType([T.StructField("name", T.StringType())])
     df = fetch_paged(spark, lambda o, l: [], schema, page_size=10)
     assert df.count() == 0 and df.schema == schema
+
+
+def test_jsonl_edge_shapes_quarantined_not_dropped(spark, tmp_path):
+    """Blank lines, scalar JSON, and array JSON must appear in exactly
+    one frame (quarantine) — never silently vanish from both."""
+    good_row = {
+        "repo": "r1", "path": "p1", "commit": "c1", "lang": "py",
+        "content": "x", "op": "ADD", "event_seq": 1,
+    }
+    lines = [json.dumps(good_row), "", "   ", "123", '[1, 2]', json.dumps(good_row)]
+    p = str(tmp_path / "edge.jsonl")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    good, quarantined = read_events_jsonl(spark, p)
+    n_good, n_bad = good.count(), quarantined.count()
+    assert n_good == 2
+    # every non-good input line is accounted for in quarantine
+    assert n_good + n_bad == len(lines)

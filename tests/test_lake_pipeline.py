@@ -118,6 +118,12 @@ def test_concurrent_upsert_loses_cleanly(spark, tmp_table):
     contents = {r["content"] for r in tmp_table.read().collect()}
     assert "winner-content" in contents and "loser-content" not in contents
     # the loser's orphaned staging is swept by the next successful commit
+    # once it ages past the in-flight grace period (backdate to simulate)
+    import time as _t
+
+    _old = _t.time() - 2 * tmp_table.staging_grace_s
+    for d in tmp_table.fs.list_subdirs(tmp_table.data_path):
+        os.utime(os.path.join(tmp_table.data_path, d), (_old, _old))
     tmp_table.upsert(_change("after-content", 3))
     live = set(tmp_table._meta()["buckets"].values()) | set(
         tmp_table._meta().get("retired", {})
@@ -417,13 +423,25 @@ def test_crashed_commit_leaves_table_intact_and_is_swept(spark, tmp_path):
     assert sorted(map(tuple, table.read().collect())) == before
     assert json.dumps(table._meta(), sort_keys=True) == meta_before
 
-    # the next real commit sweeps the orphan and applies its own change
+    # a FRESH unreferenced dir could be a concurrent writer's in-flight
+    # staging: the next commit leaves it alone (grace period) ...
     one = table.read().limit(1).withColumn("op", F.lit("UPDATE")).withColumn(
         "content", F.lit("post-crash")
     ).withColumn("event_seq", F.lit(7).cast("long"))
     table.upsert(one)
-    assert not os.path.isdir(orphan_dir), "orphan generation not swept"
+    assert os.path.isdir(orphan_dir), "in-flight-age staging must survive sweep"
     assert table.read().filter(F.col("content") == "post-crash").count() == 1
+
+    # ... and sweeps it once aged past the grace window (true crash orphan)
+    import time as _t
+
+    _old = _t.time() - 2 * table.staging_grace_s
+    os.utime(orphan_dir, (_old, _old))
+    two = table.read().limit(1).withColumn("op", F.lit("UPDATE")).withColumn(
+        "content", F.lit("post-crash-2")
+    ).withColumn("event_seq", F.lit(8).cast("long"))
+    table.upsert(two)
+    assert not os.path.isdir(orphan_dir), "aged orphan generation not swept"
 
 
 def test_reader_snapshot_survives_one_commit(spark, tmp_path):
@@ -475,9 +493,17 @@ def test_time_travel_read_version_and_diff(spark, tmp_path):
     assert delta.filter(F.col("op") == "UPDATE").count() == 60
 
     # push version 1's generation past retention (retain_generations=2):
-    # fully retired at commit 2 → expired once commit_seq reaches 4
+    # fully retired at commit 2 → expired once commit_seq reaches 4. The
+    # staging grace period keeps even expired dirs readable while young
+    # (they could be in-flight stagings), so age them before the sweep.
     table.upsert(upd("v4", 3))
     table.upsert(upd("v5", 4))
+    import time as _t
+
+    _old = _t.time() - 2 * table.staging_grace_s
+    for d in table.fs.list_subdirs(table.data_path):
+        os.utime(os.path.join(table.data_path, d), (_old, _old))
+    table.upsert(upd("v6", 5))  # sweep runs post-commit
     with _pytest.raises(ValueError, match="expired generations"):
         table.read_version(1).count()
 
