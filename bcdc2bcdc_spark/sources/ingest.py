@@ -109,3 +109,37 @@ def fetch_paged(
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+def fetch_paged_parallel(
+    spark: SparkSession,
+    fetch_page: Callable[[int, int], Sequence[dict]],
+    schema: T.StructType,
+    n_pages: int,
+    page_size: int = 500,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """EXECUTOR-parallel paged fetch — the scale path for endpoints that
+    honor offset ranges: page numbers are distributed over tasks
+    (``spark.range`` + Arrow ``mapInPandas``), each task pulls its pages
+    with the user callable and emits rows directly into the plan. No
+    driver accumulation; throughput scales with parallelism until the
+    endpoint saturates. ``fetch_page`` must be serializable and safe to
+    call concurrently; a page past the end should return []. Use
+    ``fetch_paged`` when the total count is unknown (sequential
+    short-page detection) — e.g. probe the count first, then fan out."""
+    import pandas as pd
+
+    cols = [f.name for f in schema.fields]
+    pages = spark.range(int(n_pages))
+    if parallelism:
+        pages = pages.repartition(int(parallelism))
+
+    def fn(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for pno in pdf["id"]:
+                rows.extend(fetch_page(int(pno) * page_size, page_size))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(fn, schema=schema)

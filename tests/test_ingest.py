@@ -85,3 +85,21 @@ def test_jsonl_edge_shapes_quarantined_not_dropped(spark, tmp_path):
     assert n_good == 2
     # every non-good input line is accounted for in quarantine
     assert n_good + n_bad == len(lines)
+
+
+def test_fetch_paged_parallel_matches_sequential(spark):
+    universe = [{"name": f"n{i}", "rank": i} for i in range(55)]
+
+    def pager(offset, limit):
+        return universe[offset : offset + limit]
+
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("rank", T.LongType())]
+    )
+    from bcdc2bcdc_spark.sources.ingest import fetch_paged_parallel
+
+    # n_pages overshoots (pages past the end return []) — executor path
+    par = fetch_paged_parallel(spark, pager, schema, n_pages=8, page_size=10, parallelism=4)
+    seq = fetch_paged(spark, pager, schema, page_size=10)
+    assert sorted(map(tuple, par.collect())) == sorted(map(tuple, seq.collect()))
+    assert par.count() == 55
