@@ -6,10 +6,9 @@ with a broken-paging fallback that detects the SAME page repeating,
 ``CKAN.py:102-124``). The engine's equivalents:
 
 * ``read_events_jsonl`` — schema-enforced JSONL scan with malformed-line
-  QUARANTINE (PERMISSIVE + corrupt-record column): bad producer output
-  lands in a reviewable frame instead of failing the job or silently
-  nulling. Distributed (``spark.read.json``), predicate/column pruning
-  apply as usual.
+  QUARANTINE (text scan + from_json carrying a corrupt-record column):
+  bad producer output lands in a reviewable frame instead of failing the
+  job or silently nulling; fully distributed, nothing cached.
 * ``fetch_paged`` — the driver-side paged-API shape: pull pages through
   a user callable until a short/empty page, detecting broken paging
   (identical page repeated) exactly like the reference, then
