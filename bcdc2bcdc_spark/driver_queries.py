@@ -2917,10 +2917,16 @@ ORACLES["time_travel_e2e"] = SQL_TIME_TRAVEL_E2E
 
 def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 UDAF surface as a hard signal: a REAL pandas grouped-agg UDAF
-    (Arrow-vectorized, partial-agg per group) computes the
-    linenumber-weighted quantity sum per return flag — integer arithmetic
-    end to end (int64 in pandas, BIGINT in the oracle), so the value hash
-    cannot drift on float summation order."""
+    (Arrow-vectorized) computes the linenumber-weighted quantity sum per
+    return flag — integer arithmetic end to end (int64 in pandas, BIGINT
+    in the oracle), so the value hash cannot drift on float summation
+    order. SCALE NOTE: Spark grouped-agg pandas UDFs have NO partial
+    aggregation — each group's raw rows shuffle to one task and
+    materialize in its memory, so this path is for low-cardinality /
+    bounded groups or genuinely non-decomposable aggregates; anything
+    expressible as a JVM aggregate (this weighted sum included) should
+    use the built-in at scale. The query exists to prove the API
+    surface against an oracle, not as the recommended plan."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -3000,21 +3006,21 @@ def q_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lww_ranked_sql(where: str) -> str:
+    """The ONE copy of the oracle's LWW ranking CTE body (total order:
+    commit_id, event_seq, lang, content, op — desc, nulls last)."""
+    return f"""
+      SELECT repo, path, commit_id, event_seq, lang, content, op,
+             ROW_NUMBER() OVER (PARTITION BY repo, path
+               ORDER BY commit_id DESC, event_seq DESC, lang DESC NULLS LAST,
+                        content DESC NULLS LAST, op DESC NULLS LAST) AS rn
+      FROM ({EV_SQL}) {where}
+"""
+
+
 SQL_COGROUP_RECONCILE = f"""
-    WITH ranked_src AS (
-      SELECT repo, path, commit_id, event_seq, lang, content, op,
-             ROW_NUMBER() OVER (PARTITION BY repo, path
-               ORDER BY commit_id DESC, event_seq DESC, lang DESC NULLS LAST,
-                        content DESC NULLS LAST, op DESC NULLS LAST) AS rn
-      FROM ({EV_SQL})
-    ),
-    ranked_dest AS (
-      SELECT repo, path, commit_id, event_seq, lang, content, op,
-             ROW_NUMBER() OVER (PARTITION BY repo, path
-               ORDER BY commit_id DESC, event_seq DESC, lang DESC NULLS LAST,
-                        content DESC NULLS LAST, op DESC NULLS LAST) AS rn
-      FROM ({EV_SQL}) WHERE event_seq <= {HALF_SQL}
-    ),
+    WITH ranked_src AS ({_lww_ranked_sql("")}),
+    ranked_dest AS ({_lww_ranked_sql(f"WHERE event_seq <= {HALF_SQL}")}),
     s AS (SELECT * FROM ranked_src WHERE rn = 1),
     d AS (SELECT * FROM ranked_dest WHERE rn = 1)
     SELECT COALESCE(s.repo, d.repo) AS repo,

@@ -36,14 +36,24 @@ class LocalFS:
             shutil.rmtree(dir_path)
 
     def dir_age_s(self, dir_path: str) -> float:
-        """Seconds since the directory was last modified (inf if gone) —
-        used by the lake sweep's in-flight-staging grace period."""
+        """Seconds since the newest modification anywhere in the
+        directory TREE (directories only — file adds bump their parent
+        dir's mtime, so walking dirs is O(buckets), not O(files)); inf if
+        gone. The top-level mtime alone would measure time since job
+        START, not activity: Spark writes churn nested _temporary/task
+        and bucket dirs for the whole job."""
         import time
 
+        newest = None
         try:
-            return max(0.0, time.time() - os.path.getmtime(dir_path))
+            for root, _dirs, _files in os.walk(dir_path):
+                m = os.path.getmtime(root)
+                newest = m if newest is None or m > newest else newest
         except OSError:
+            pass
+        if newest is None:
             return float("inf")
+        return max(0.0, time.time() - newest)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)

@@ -126,8 +126,21 @@ def fetch_paged_parallel(
     endpoint saturates. ``fetch_page`` must be serializable and safe to
     call concurrently; a page past the end should return []. Use
     ``fetch_paged`` when the total count is unknown (sequential
-    short-page detection) — e.g. probe the count first, then fan out."""
+    short-page detection) — e.g. probe the count first, then fan out.
+
+    Broken paging (the endpoint ignoring the offset) would here yield
+    n_pages silent copies of page 0 — so the same check the sequential
+    path applies per page runs ONCE up front: two driver-side probe
+    calls comparing page 0 against page 1."""
     import pandas as pd
+
+    if n_pages > 1:
+        p0 = list(fetch_page(0, page_size))
+        if len(p0) == page_size and p0 == list(fetch_page(page_size, page_size)):
+            raise BrokenPagingError(
+                "page at offset {0} identical to page 0 — endpoint ignores "
+                "the offset parameter".format(page_size)
+            )
 
     cols = [f.name for f in schema.fields]
     pages = spark.range(int(n_pages))

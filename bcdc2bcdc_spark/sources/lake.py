@@ -108,9 +108,13 @@ class HashBucketParquetTable:
     #: (possibly multi-minute) Spark write job runs — the sweep must not
     #: delete it out from under the job, or the loser dies with a random
     #: I/O error instead of the ConcurrentWriteError retry signal. An
-    #: unreferenced dir is only swept once idle for this long; crashed
-    #: orphans age past it naturally. Size it above the longest expected
-    #: single write job.
+    #: unreferenced, never-referenced dir is swept only once its ACTIVITY
+    #: age (newest mtime across its directory tree — task/bucket dirs
+    #: churn during the write, the top dir alone would measure time since
+    #: job START) exceeds this window. Size it above the longest expected
+    #: write-idle gap, not the whole job. Generations expired from the
+    #: RETIRED set are exempt — they are provably old table state and are
+    #: deleted deterministically at the expiring commit.
     staging_grace_s: float = 900.0
 
     @property
@@ -182,23 +186,33 @@ class HashBucketParquetTable:
         }
         return gen, written
 
-    def _sweep_unreferenced_generations(self) -> None:
+    def _sweep_unreferenced_generations(
+        self, expired_now: Sequence[str] = ()
+    ) -> None:
         """GC generation dirs that are neither referenced by any bucket nor
-        held by the retention window — i.e. expired snapshots and the
-        leftovers of crashed (never-committed) stagings. Runs AFTER the
-        manifest swap, so a crash here leaves garbage, never corruption."""
+        held by the retention window. Runs AFTER the manifest swap, so a
+        crash here leaves garbage, never corruption.
+
+        Two classes, treated differently:
+
+        * ``expired_now`` — generations the committing writer just expired
+          FROM THE RETIRED SET: these are provably old table state (they
+          were referenced by an earlier manifest), so they are deleted
+          immediately — retention stays a deterministic commit-count
+          contract (``read_version`` expiry does not drift with the
+          clock).
+        * every other unreferenced dir — possibly a CONCURRENT writer's
+          in-flight staging: deleted only after the activity grace period
+          (see ``staging_grace_s``); crashed orphans age into eligibility.
+        """
         meta = self._meta()
         keep = set(meta.get("buckets", {}).values()) | set(meta.get("retired", {}))
+        expired_set = set(expired_now)
         for d in self.fs.list_subdirs(self.data_path):
             if d in keep:
                 continue
             full = os.path.join(self.data_path, d)
-            # grace period: an unreferenced dir may be a CONCURRENT
-            # writer's in-flight staging (its write job is still
-            # appending) — only sweep once it has been idle long enough
-            # that it can only be a crashed orphan or a lost racer whose
-            # commit already aborted.
-            if self.fs.dir_age_s(full) < self.staging_grace_s:
+            if d not in expired_set and self.fs.dir_age_s(full) < self.staging_grace_s:
                 continue
             self.fs.remove_dir(full)
 
@@ -522,9 +536,10 @@ class HashBucketParquetTable:
         self.fs.write_json_atomic(
             os.path.join(self.path, "_history", f"manifest-{seq}.json"), meta
         )
-        # post-commit GC: expired snapshots + crashed-staging orphans;
-        # a crash in here leaves unreferenced dirs for the next sweep
-        self._sweep_unreferenced_generations()
+        # post-commit GC: expired snapshots (deterministic, commit-count
+        # retention) + aged crashed-staging orphans; a crash in here
+        # leaves unreferenced dirs for the next sweep
+        self._sweep_unreferenced_generations(expired_now=expired)
 
     #: event-control columns that never belong to the table schema
     _CONTROL_COLS = ("op", "event_seq", "epoch")

@@ -103,3 +103,18 @@ def test_fetch_paged_parallel_matches_sequential(spark):
     seq = fetch_paged(spark, pager, schema, page_size=10)
     assert sorted(map(tuple, par.collect())) == sorted(map(tuple, seq.collect()))
     assert par.count() == 55
+
+
+def test_fetch_paged_parallel_detects_broken_paging(spark):
+    page = [{"name": f"n{i}", "rank": i} for i in range(10)]
+
+    def broken(offset, limit):
+        return page  # ignores offset
+
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("rank", T.LongType())]
+    )
+    from bcdc2bcdc_spark.sources.ingest import fetch_paged_parallel
+
+    with pytest.raises(BrokenPagingError, match="identical to page 0"):
+        fetch_paged_parallel(spark, broken, schema, n_pages=5, page_size=10)

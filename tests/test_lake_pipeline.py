@@ -79,6 +79,16 @@ def test_lake_delete_can_empty_a_bucket(spark, tmp_table):
     assert tmp_table.read().count() == 0  # stale-partition bug regression
 
 
+def _backdate_tree(root, secs):
+    """Recursively age a directory tree (the sweep's activity age is the
+    NEWEST mtime in the tree, so only a full backdate makes it old)."""
+    import time as _t
+
+    old = _t.time() - secs
+    for r, _ds, _fs in os.walk(root):
+        os.utime(r, (old, old))
+
+
 def test_concurrent_upsert_loses_cleanly(spark, tmp_table):
     """Optimistic concurrency: a writer whose base read predates another
     writer's commit ABORTS at its own commit (ConcurrentWriteError) instead
@@ -119,11 +129,8 @@ def test_concurrent_upsert_loses_cleanly(spark, tmp_table):
     assert "winner-content" in contents and "loser-content" not in contents
     # the loser's orphaned staging is swept by the next successful commit
     # once it ages past the in-flight grace period (backdate to simulate)
-    import time as _t
-
-    _old = _t.time() - 2 * tmp_table.staging_grace_s
     for d in tmp_table.fs.list_subdirs(tmp_table.data_path):
-        os.utime(os.path.join(tmp_table.data_path, d), (_old, _old))
+        _backdate_tree(os.path.join(tmp_table.data_path, d), 2 * tmp_table.staging_grace_s)
     tmp_table.upsert(_change("after-content", 3))
     live = set(tmp_table._meta()["buckets"].values()) | set(
         tmp_table._meta().get("retired", {})
@@ -433,10 +440,7 @@ def test_crashed_commit_leaves_table_intact_and_is_swept(spark, tmp_path):
     assert table.read().filter(F.col("content") == "post-crash").count() == 1
 
     # ... and sweeps it once aged past the grace window (true crash orphan)
-    import time as _t
-
-    _old = _t.time() - 2 * table.staging_grace_s
-    os.utime(orphan_dir, (_old, _old))
+    _backdate_tree(orphan_dir, 2 * table.staging_grace_s)
     two = table.read().limit(1).withColumn("op", F.lit("UPDATE")).withColumn(
         "content", F.lit("post-crash-2")
     ).withColumn("event_seq", F.lit(8).cast("long"))
@@ -493,17 +497,11 @@ def test_time_travel_read_version_and_diff(spark, tmp_path):
     assert delta.filter(F.col("op") == "UPDATE").count() == 60
 
     # push version 1's generation past retention (retain_generations=2):
-    # fully retired at commit 2 → expired once commit_seq reaches 4. The
-    # staging grace period keeps even expired dirs readable while young
-    # (they could be in-flight stagings), so age them before the sweep.
+    # fully retired at commit 2 → expired once commit_seq reaches 4.
+    # Expiry from the RETIRED set is deterministic (commit-count, no
+    # staging grace) — the expiring commit itself sweeps the generation.
     table.upsert(upd("v4", 3))
     table.upsert(upd("v5", 4))
-    import time as _t
-
-    _old = _t.time() - 2 * table.staging_grace_s
-    for d in table.fs.list_subdirs(table.data_path):
-        os.utime(os.path.join(table.data_path, d), (_old, _old))
-    table.upsert(upd("v6", 5))  # sweep runs post-commit
     with _pytest.raises(ValueError, match="expired generations"):
         table.read_version(1).count()
 
