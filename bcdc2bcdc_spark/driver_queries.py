@@ -3049,3 +3049,62 @@ QUERIES.update(
 ORACLES.update(
     {"udaf_weighted": SQL_UDAF_WEIGHTED, "cogroup_reconcile": SQL_COGROUP_RECONCILE}
 )
+
+
+# ---------------------------------------------------------------------------
+# maintenance-in-the-loop e2e — compact + rebucket preserve content
+# ---------------------------------------------------------------------------
+
+def q_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance ops as a hard signal: the same two-epoch pipeline as
+    pipeline_e2e, but BETWEEN the epochs the table is compacted AND
+    rebucketed (16 → 32 hash buckets — full rewrite through the atomic
+    manifest swap, persisted n_buckets takes authority). The final table
+    must STILL equal the independent SQL replay — i.e. compaction and
+    partition-spec evolution are content-preserving inside a live
+    pipeline, not just in unit tests."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+    from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    work = tempfile.mkdtemp(prefix="cdc_maint_")
+    out = _session_tmp("maintenance_e2e")
+    try:
+        ev = cdc_events(spark, sf_dir)
+        half = _half_seq_dir(spark, sf_dir)
+        ev = ev.withColumnRenamed("commit_id", "commit").withColumn(
+            "epoch", F.when(F.col("event_seq") <= half, F.lit(0)).otherwise(F.lit(1))
+        )
+        table = HashBucketParquetTable(spark, f"{work}/lake", n_buckets=16)
+        table.init(spark.createDataFrame([], REPOS_SCHEMA))
+
+        def pipe(ckpt: str) -> CDCPipeline:
+            return CDCPipeline(
+                table=table,
+                checkpoints=CheckpointStore(f"{work}/{ckpt}"),
+                digest_impl="arrow",
+                order_cols=LWW_ORDER_COMMIT,
+            )
+
+        pipe("ckpt").run(ev.filter(F.col("epoch") == 0))
+        table.compact(max_files_per_bucket=0)  # force-rewrite crowded buckets
+        table.rebucket(32)
+        # fresh checkpoint store: epoch ids restart, the table carries on
+        pipe("ckpt2").run(ev.filter(F.col("epoch") == 1))
+        (
+            table.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+QUERIES["maintenance_e2e"] = q_maintenance_e2e
+ORACLES["maintenance_e2e"] = SQL_PIPELINE_E2E  # identical replay contract
