@@ -81,8 +81,18 @@ def connected_components(
     verts = edges.select(F.col("src").alias("id")).distinct()
     if vertices is not None:
         verts = verts.union(vertices.select(F.col(id_col).alias("id"))).distinct()
-    labels = checkpoint(verts.select("id", F.col("id").alias("label")))
     edges = checkpoint(edges)
+    # seed labels with min(self, neighbors) — folds the first propagation
+    # into initialization (same fixpoint, one fewer round on the
+    # near-clique graphs LSH produces)
+    seed_min = edges.groupBy("src").agg(F.min("dst").alias("nbr_min")).withColumnRenamed(
+        "src", "id"
+    )
+    labels = checkpoint(
+        verts.join(seed_min, "id", "left").select(
+            "id", F.least("id", F.coalesce("nbr_min", "id")).alias("label")
+        )
+    )
 
     for _ in range(max_iter):
         nbr_min = (
