@@ -3108,3 +3108,51 @@ def q_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["maintenance_e2e"] = q_maintenance_e2e
 ORACLES["maintenance_e2e"] = SQL_PIPELINE_E2E  # identical replay contract
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation — IVF recall vs the exact baseline, as data
+# ---------------------------------------------------------------------------
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index QUALITY as an oracled metric: per query, how many of the
+    exact top-5 neighbors the IVF index recovered (hits) and the recall
+    fraction — the evaluation loop a real ANN deployment runs, entirely
+    in the engine (both result sets and their intersection), mirrored by
+    the oracle joining the same two SQL blocks."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).select(
+        "query_id", F.col("neighbor_id").alias("approx_id")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["approx_id"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(F.count("approx_id").alias("hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("hits").cast("long").alias("hits"),
+        (F.col("hits") / F.lit(5.0)).alias("recall"),
+    )
+
+
+SQL_ANN_RECALL = f"""
+    WITH exact AS ({SQL_ANN_TOPK}),
+         approx AS ({SQL_ANN_IVF})
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+           COUNT(a.neighbor_id) / 5.0 AS recall
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
+QUERIES["ann_recall"] = q_ann_recall
+ORACLES["ann_recall"] = SQL_ANN_RECALL
