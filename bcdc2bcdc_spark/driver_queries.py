@@ -3156,3 +3156,59 @@ SQL_ANN_RECALL = f"""
 
 QUERIES["ann_recall"] = q_ann_recall
 ORACLES["ann_recall"] = SQL_ANN_RECALL
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation — heuristic accuracy vs ground truth, as data
+# ---------------------------------------------------------------------------
+
+def q_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as an oracled metric: the n-gram/stopword
+    language-ID heuristic (functions/text.lang_id) scored against the
+    documents table's ground-truth lang — per true language: docs,
+    correct predictions, accuracy. The oracle re-implements the marker
+    ladder (first match wins) from the same ordered marker sets."""
+    from bcdc2bcdc_spark.functions.text import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang", (lang_id("text") == F.col("lang")).cast("int").alias("ok")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        (F.sum("ok") / F.count(F.lit(1))).alias("accuracy"),
+    )
+
+
+def _langid_sql() -> str:
+    from bcdc2bcdc_spark.functions.text import _LANG_MARKERS
+
+    ladder = " ".join(
+        "WHEN ({c}) THEN '{lang}'".format(
+            lang=lang,
+            c=" OR ".join(
+                f"position('{m}' IN padded) > 0" for m in markers
+            ),
+        )
+        for lang, markers in _LANG_MARKERS
+    )
+    return f"""
+    WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+         pred AS (SELECT lang,
+                         CASE {ladder} ELSE 'und' END AS lang_pred
+                  FROM p)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) / (COUNT(*) * 1.0)
+             AS accuracy
+    FROM pred GROUP BY lang
+"""
+
+
+SQL_LANGID_ACCURACY = _langid_sql()
+
+QUERIES["langid_accuracy"] = q_langid_accuracy
+ORACLES["langid_accuracy"] = SQL_LANGID_ACCURACY
