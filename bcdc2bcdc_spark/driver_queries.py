@@ -3212,3 +3212,75 @@ SQL_LANGID_ACCURACY = _langid_sql()
 
 QUERIES["langid_accuracy"] = q_langid_accuracy
 ORACLES["langid_accuracy"] = SQL_LANGID_ACCURACY
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate-precision evaluation — banded minhash vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality row for the dedup path: every MinHash-LSH candidate
+    pair scored with its EXACT 3-gram Jaccard — total candidates, how
+    many clear 0.5, and the precision fraction; the false-positive rate
+    the banding parameters buy. Both sides compose the existing oracled
+    generators (pairs + shingle intersection)."""
+    from bcdc2bcdc_spark.operators.dedupe import _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, shingle_n=3)
+    toks = _shingles(docs, "text", "doc_id", 3)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(toks.select(F.col("doc_id").alias("a"), "tok"), "a")
+        .join(toks.select(F.col("doc_id").alias("b"), F.col("tok").alias("tok_b")), "b")
+        .filter(F.col("tok") == F.col("tok_b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("inter", F.coalesce("inter", F.lit(0)))
+        .withColumn(
+            "jacc", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("jacc") >= 0.5).cast("int")).cast("long").alias("n_true"),
+        (F.sum((F.col("jacc") >= 0.5).cast("int")) / F.count(F.lit(1))).alias(
+            "precision"
+        ),
+    )
+
+
+SQL_MINHASH_PRECISION = f"""
+    WITH pairs AS ({SQL_DEDUP_MINHASH}),
+         toks AS ({_SHINGLES_SQL}),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT p.a, p.b, COUNT(*) AS inter
+           FROM pairs p
+           JOIN toks ta ON ta.doc_id = p.a
+           JOIN toks tb ON tb.doc_id = p.b AND tb.tok = ta.tok
+           GROUP BY p.a, p.b
+         ),
+         j AS (
+           SELECT p.a, p.b,
+                  COALESCE(i.inter, 0)
+                    / (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS jacc
+           FROM pairs p
+           LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+           JOIN sizes sa ON sa.doc_id = p.a
+           JOIN sizes sb ON sb.doc_id = p.b
+         )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) / (COUNT(*) * 1.0)
+             AS precision
+    FROM j
+"""
+
+QUERIES["minhash_precision"] = q_minhash_precision
+ORACLES["minhash_precision"] = SQL_MINHASH_PRECISION
