@@ -3284,3 +3284,61 @@ SQL_MINHASH_PRECISION = f"""
 
 QUERIES["minhash_precision"] = q_minhash_precision
 ORACLES["minhash_precision"] = SQL_MINHASH_PRECISION
+
+
+# ---------------------------------------------------------------------------
+# embedding-LSH recall evaluation — banded hyperplanes vs exact all-pairs
+# ---------------------------------------------------------------------------
+
+def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other side of the LSH quality ledger (minhash_precision = FP
+    rate; this = FN rate): of all TRUE near-dup pairs (exact cosine ≥
+    0.35 over every pair — evaluation-only brute force, fine at contract
+    scale), how many the banded-hyperplane candidates recover. One row:
+    true pairs, recovered, recall."""
+    from bcdc2bcdc_spark.operators.dedupe import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.35)
+        .select("a", "b")
+    )
+    cand = embedding_near_dups(
+        emb, threshold=0.35, n_bands=4, band_bits=4, dim=64
+    ).select("a", "b")
+    hit = exact.join(cand, ["a", "b"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).cast("long").alias("n_true")).crossJoin(
+        hit.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    ).select(
+        "n_true",
+        "n_found",
+        (F.col("n_found") / F.col("n_true")).alias("recall"),
+    )
+
+
+SQL_EMBEDDING_LSH_RECALL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         exact AS (
+           SELECT x.vec_id AS a, y.vec_id AS b
+           FROM v x JOIN v y ON x.vec_id < y.vec_id
+           WHERE ROUND({_COS_SQL.format(a='x.ve', b='y.ve')}, 6) >= 0.35
+         ),
+         cand AS (SELECT a, b FROM ({SQL_EMBEDDING_NEAR_DUPS})),
+         hit AS (SELECT e.a, e.b FROM exact e
+                 WHERE EXISTS (SELECT 1 FROM cand c WHERE c.a = e.a AND c.b = e.b))
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           (SELECT COUNT(*) FROM hit) / ((SELECT COUNT(*) FROM exact) * 1.0)
+             AS recall
+"""
+
+QUERIES["embedding_lsh_recall"] = q_embedding_lsh_recall
+ORACLES["embedding_lsh_recall"] = SQL_EMBEDDING_LSH_RECALL
