@@ -3188,7 +3188,8 @@ def _langid_sql() -> str:
         "WHEN ({c}) THEN '{lang}'".format(
             lang=lang,
             c=" OR ".join(
-                f"position('{m}' IN padded) > 0" for m in markers
+                "position('{0}' IN padded) > 0".format(m.replace("'", "''"))
+                for m in markers
             ),
         )
         for lang, markers in _LANG_MARKERS
@@ -3243,7 +3244,12 @@ def q_minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn("inter", F.coalesce("inter", F.lit(0)))
         .withColumn(
-            "jacc", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+            # ROUND to 6 like ngram_jaccard_pairs — the metric's ground
+            # truth must share the engine's own threshold semantics
+            "jacc",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
         )
     )
     return j.agg(
@@ -3268,8 +3274,8 @@ SQL_MINHASH_PRECISION = f"""
          ),
          j AS (
            SELECT p.a, p.b,
-                  COALESCE(i.inter, 0)
-                    / (sa.sz + sb.sz - COALESCE(i.inter, 0)) AS jacc
+                  ROUND(COALESCE(i.inter, 0)
+                    / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) AS jacc
            FROM pairs p
            LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
            JOIN sizes sa ON sa.doc_id = p.a
@@ -3314,13 +3320,14 @@ def q_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = embedding_near_dups(
         emb, threshold=0.35, n_bands=4, band_bits=4, dim=64
     ).select("a", "b")
-    hit = exact.join(cand, ["a", "b"], "left_semi")
-    return exact.agg(F.count(F.lit(1)).cast("long").alias("n_true")).crossJoin(
-        hit.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
-    ).select(
-        "n_true",
-        "n_found",
-        (F.col("n_found") / F.col("n_true")).alias("recall"),
+    # ONE pass over the exact-pair subtree: a left join marks recovered
+    # pairs, and both counts come from the same scan (the brute-force
+    # crossJoin is the dominant cost — running it twice would double it)
+    marked = exact.join(cand.withColumn("_m", F.lit(1)), ["a", "b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count("_m").cast("long").alias("n_found"),
+        (F.count("_m") / F.count(F.lit(1))).alias("recall"),
     )
 
 
