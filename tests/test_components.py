@@ -114,3 +114,21 @@ def test_keep_representative_without_vertex_universe(spark):
     kept = dedup_keep_representative(docs, clusters)
     rows = {r["cluster_id"]: r["doc_id"] for r in kept.collect()}
     assert rows == {1: 2, 9: 9}  # doc 9 kept as its own cluster
+
+
+def test_components_property_random_graphs(spark):
+    """Property check across many random graphs (incl. the min-neighbor
+    seeding): engine labels always equal the union-find oracle."""
+    import random
+
+    for seed in (7, 19, 101):
+        rng = random.Random(seed)
+        n = rng.randrange(5, 40)
+        vertices = list(range(n))
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(0, 2 * n))
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        got = _cc(spark, pairs, vertices=vertices)
+        assert got == _uf_oracle(pairs, vertices), f"seed={seed}"
