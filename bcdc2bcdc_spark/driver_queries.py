@@ -3349,3 +3349,87 @@ SQL_EMBEDDING_LSH_RECALL = f"""
 
 QUERIES["embedding_lsh_recall"] = q_embedding_lsh_recall
 ORACLES["embedding_lsh_recall"] = SQL_EMBEDDING_LSH_RECALL
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read lake mode (Iceberg v2 write.merge.mode duality)
+# ---------------------------------------------------------------------------
+
+
+def _run_mor_pipeline(spark: SparkSession, sf_dir: str, name: str,
+                      compact: bool) -> DataFrame:
+    """Shared body for the MOR contract rows: the real CDCPipeline applies
+    the derived event log in two epochs to an empty MERGE-ON-READ lake —
+    every upsert is an O(changes) delta append, never a base rewrite — and
+    the final state must equal the independent SQL replay. ``compact=False``
+    returns the READ-TIME-MERGE view (base + delta fold per key);
+    ``compact=True`` folds deltas into a plain base first and must return
+    the bit-identical rows (sources/lake.py compact_deltas contract)."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+    from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    work = tempfile.mkdtemp(prefix="cdc_mor_")
+    out = _session_tmp(name)
+    try:
+        ev = cdc_events(spark, sf_dir)
+        half = _half_seq_dir(spark, sf_dir)
+        ev = ev.withColumnRenamed("commit_id", "commit").withColumn(
+            "epoch", F.when(F.col("event_seq") <= half, F.lit(0)).otherwise(F.lit(1))
+        )
+        table = HashBucketParquetTable(
+            spark, f"{work}/lake", n_buckets=16, write_mode="mor"
+        )
+        table.init(spark.createDataFrame([], REPOS_SCHEMA))
+        pipe = CDCPipeline(
+            table=table,
+            checkpoints=CheckpointStore(f"{work}/ckpt"),
+            digest_impl="arrow",
+            order_cols=LWW_ORDER_COMMIT,
+        )
+        pipe.run(ev)
+        if not table._meta()["deltas"]:
+            raise AssertionError("MOR pipeline produced no deltas — wrong mode?")
+        if compact:
+            table.compact_deltas()
+            if table._meta()["deltas"]:
+                raise AssertionError("compact_deltas left outstanding deltas")
+        (
+            table.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+def q_mor_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read hard-signal row: CDCPipeline over a write_mode='mor'
+    lake — upserts append delta generations (write cost O(changes),
+    base buckets untouched) and the READ-TIME per-key fold (one hash
+    aggregate: groupBy(key).agg(collect_list) + Catalyst ``aggregate``
+    lambda, no window) must reproduce the exact replay state the CoW
+    pipeline and the SQL oracle compute. Reference parity: same
+    apply-branch semantics as CKANUpdate.py:395-460, resolved lazily."""
+    return _run_mor_pipeline(spark, sf_dir, "mor_pipeline_e2e", compact=False)
+
+
+def q_mor_compact_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta compaction hard-signal row: after the same MOR pipeline,
+    ``compact_deltas()`` folds every bucket's outstanding deltas into a
+    plain base generation (one atomic manifest commit) — and the scan-only
+    read must be bit-identical to the pre-compaction merge view AND to the
+    SQL replay. The Iceberg rewrite_data_files + remove-deletes analog."""
+    return _run_mor_pipeline(spark, sf_dir, "mor_compact_e2e", compact=True)
+
+
+QUERIES["mor_pipeline_e2e"] = q_mor_pipeline_e2e
+ORACLES["mor_pipeline_e2e"] = SQL_PIPELINE_E2E
+QUERIES["mor_compact_e2e"] = q_mor_compact_e2e
+ORACLES["mor_compact_e2e"] = SQL_PIPELINE_E2E

@@ -22,6 +22,23 @@ idempotent MERGE INTO. Two interchangeable backends behind one interface:
   swap leaves the previous table state fully intact, and orphaned
   generations from crashed attempts are swept after the next commit.
 
+Write modes (Iceberg v2's ``write.merge.mode`` duality):
+
+* ``cow`` (copy-on-write, the default) — each upsert merges and REWRITES
+  the touched buckets. Write amplification O(touched buckets), reads are
+  a plain scan. Right for batch-sized epochs touching a small bucket
+  fraction.
+* ``mor`` (merge-on-read) — each upsert APPENDS the change set as an
+  immutable delta generation (op column retained as the tombstone/upsert
+  marker) and the manifest records, per bucket, the ordered delta list.
+  Write amplification O(changes) — independent of bucket size — while
+  reads fold base + deltas per key (one hash aggregate, no window).
+  Right for high-frequency small epochs and hot-bucket skew, where CoW
+  would rewrite the same gigabyte bucket every few seconds.
+  ``compact_deltas()`` folds deltas back into the base (Iceberg's
+  rewrite actions), restoring scan-speed reads; read-time-merge results
+  are bit-identical before and after.
+
 Write-guard: like the reference's ``CKAN_DO_NOT_WRITE_URL`` check
 (CKAN.py:431-460), a table opened with ``protected=True`` refuses mutation.
 """
@@ -116,6 +133,10 @@ class HashBucketParquetTable:
     #: RETIRED set are exempt — they are provably old table state and are
     #: deleted deterministically at the expiring commit.
     staging_grace_s: float = 900.0
+    #: ``cow`` | ``mor`` (see module docstring). Seeds ``init()`` only —
+    #: once the table exists the PERSISTED mode is authoritative (like
+    #: ``n_buckets``); flip it later with ``set_write_mode()``.
+    write_mode: str = "cow"
 
     @property
     def data_path(self) -> str:
@@ -155,6 +176,8 @@ class HashBucketParquetTable:
             "digest_cols": compare,
             "schema": df.schema.jsonValue(),
             "buckets": {str(b): gen for b in written},
+            "deltas": {},
+            "write_mode": self._validated_mode(self.write_mode),
             "commit_seq": 1,
         }
         self.fs.write_json_atomic(self.meta_path, meta)
@@ -206,7 +229,7 @@ class HashBucketParquetTable:
           (see ``staging_grace_s``); crashed orphans age into eligibility.
         """
         meta = self._meta()
-        keep = set(meta.get("buckets", {}).values()) | set(meta.get("retired", {}))
+        keep = self._referenced_gens(meta) | set(meta.get("retired", {}))
         expired_set = set(expired_now)
         for d in self.fs.list_subdirs(self.data_path):
             if d in keep:
@@ -215,6 +238,46 @@ class HashBucketParquetTable:
             if d not in expired_set and self.fs.dir_age_s(full) < self.staging_grace_s:
                 continue
             self.fs.remove_dir(full)
+
+    @staticmethod
+    def _referenced_gens(meta: dict) -> set[str]:
+        """Every generation dir any live manifest entry points at: base
+        bucket mappings plus outstanding MOR delta lists."""
+        refs = set(meta.get("buckets", {}).values())
+        for entries in meta.get("deltas", {}).values():
+            refs |= {e["gen"] for e in entries}
+        return refs
+
+    @staticmethod
+    def _validated_mode(mode: str) -> str:
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {mode!r}")
+        return mode
+
+    def _write_mode_resolved(self, meta: dict | None = None) -> str:
+        """The table's AUTHORITATIVE write mode: persisted once the table
+        exists (constructor arg only seeds init), like ``_n_buckets``."""
+        if meta is None:
+            meta = self._meta() if self.exists() else {}
+        return meta.get("write_mode", self.write_mode)
+
+    def set_write_mode(self, mode: str) -> None:
+        """Flip the persisted write mode (metadata-only, like ``evolve``).
+        Existing deltas stay readable either way: a ``cow`` upsert on a
+        bucket with outstanding deltas folds them in and clears the list."""
+        self._check_writable()
+        mode = self._validated_mode(mode)
+        meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
+        if meta.get("write_mode", "cow") == mode:
+            return
+        meta["write_mode"] = mode
+        if int(self._meta().get("commit_seq", 0)) != base_seq:
+            raise ConcurrentWriteError(
+                "a commit landed during set_write_mode — re-run against the "
+                "new table state"
+            )
+        self._write_meta(meta)
 
     def _meta(self) -> dict:
         return self.fs.read_json(self.meta_path)
@@ -291,7 +354,143 @@ class HashBucketParquetTable:
         construction — no partition discovery, no schema inference, and a
         fully-deleted table (empty map) reads as empty. ``_bucket`` is
         recomputed from the keys (deterministic), never parsed from paths."""
-        meta = self._meta()
+        return self._read_raw_from(self._meta(), buckets)
+
+    def _delta_file_schema(self, schema: T.StructType | None = None) -> T.StructType:
+        """What MOR delta files physically hold: payload + persisted digest
+        + the op marker (ADD/UPDATE upsert vs DELETE tombstone)."""
+        base = schema if schema is not None else self.data_schema()
+        return T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_digest", T.StringType(), True),
+                T.StructField("op", T.StringType(), True),
+            ]
+        )
+
+    def _delta_index(
+        self, meta: dict, buckets: Sequence[int] | None
+    ) -> list[tuple[str, int, list[str]]]:
+        """Outstanding deltas resolved to concrete dirs: one entry per
+        delta generation — ``(gen, seq, [bucket dirs])`` — restricted to
+        the requested buckets, ordered by commit seq."""
+        want = None if buckets is None else {str(b) for b in buckets}
+        by_gen: dict[str, tuple[int, list[str]]] = {}
+        for b, entries in meta.get("deltas", {}).items():
+            if want is not None and b not in want:
+                continue
+            for e in entries:
+                seq, dirs = by_gen.setdefault(e["gen"], (int(e["seq"]), []))
+                dirs.append(self._bucket_dir(int(b), e["gen"]))
+        return sorted(
+            [(g, seq, dirs) for g, (seq, dirs) in by_gen.items()],
+            key=lambda t: t[1],
+        )
+
+    def _merge_versions(
+        self,
+        union_df: DataFrame,
+        schema: T.StructType,
+        digest_impl: str = "jvm",
+    ) -> DataFrame:
+        """Fold base + delta versions per key into the final row — MERGE
+        semantics resolved AT READ TIME. Per key: versions sorted by commit
+        seq, then left-folded with exactly apply_changes' branch rules
+        (DELETE → tombstone, digest-equal upsert → no-op that KEEPS the
+        prior row incl. its ``commit``, else take the newer version).
+
+        Physical plan: ONE hash aggregate (``groupBy(key).agg(collect_list)``
+        with map-side partial combine) + a Catalyst ``aggregate`` lambda
+        over the per-key array — no window, no single-partition step, no
+        Python. Rows per key = 1 base + #outstanding delta generations the
+        key appears in, bounded by the compaction policy."""
+        key_cols = list(self.key_cols)
+        state_fields = [f for f in schema.fields if f.name not in key_cols]
+        state_names = [f.name for f in state_fields] + ["_digest"]
+        state_type = T.StructType(
+            list(state_fields) + [T.StructField("_digest", T.StringType(), True)]
+        )
+        ver = F.struct(
+            F.col("_seq").alias("_seq"),
+            F.col("op").alias("op"),
+            *[F.col(c).alias(c) for c in state_names],
+        )
+        def _step(acc, v):
+            taken = F.struct(*[v[c].alias(c) for c in state_names])
+            return (
+                F.when(v["op"] == OP_DELETE, F.lit(None).cast(state_type))
+                .when(acc.isNull(), taken)
+                .when(acc["_digest"].eqNullSafe(v["_digest"]), acc)
+                .otherwise(taken)
+            )
+
+        folded = (
+            union_df.groupBy(*key_cols)
+            .agg(F.array_sort(F.collect_list(ver)).alias("_vs"))
+            .select(
+                *key_cols,
+                F.aggregate("_vs", F.lit(None).cast(state_type), _step).alias("_st"),
+            )
+            .filter(F.col("_st").isNotNull())
+            .select(
+                *key_cols,
+                *[F.col(f"_st.{c}").alias(c) for c in state_names],
+            )
+        )
+        return folded
+
+    def _read_merged_raw(
+        self,
+        buckets: Sequence[int] | None = None,
+        meta: dict | None = None,
+        digest_impl: str = "jvm",
+    ) -> DataFrame:
+        """Manifest-resolved read with outstanding MOR deltas FOLDED IN —
+        same output shape as ``_read_raw`` (payload + ``_digest`` +
+        ``_bucket``), so every rewrite path (CoW upsert base, compaction,
+        redigest, rebucket) sees the merged truth. Zero overhead when the
+        requested buckets have no deltas (plain base scan)."""
+        if meta is None:
+            meta = self._meta()
+        schema = T.StructType.fromJson(meta["schema"])
+        n_buckets = self._n_buckets(meta)
+        deltas = self._delta_index(meta, buckets)
+        base = self._read_raw_from(meta, buckets)
+        if not deltas:
+            return base
+        parts = [
+            base.drop("_bucket")
+            .withColumn("op", F.lit(None).cast("string"))
+            .withColumn("_seq", F.lit(-1).cast("long"))
+        ]
+        dschema = self._delta_file_schema(schema)
+        for _gen, seq, dirs in deltas:
+            parts.append(
+                self.spark.read.schema(dschema)
+                .parquet(*dirs)
+                .withColumn("_seq", F.lit(seq).cast("long"))
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        compare = list(meta.get("compare_cols", self.compare_cols))
+        if meta.get("digest_cols", compare) != compare:
+            # stored digests predate a compare-set change (schema
+            # evolution): recompute so the no-op fold compares digests
+            # over ONE column set — same rule as the CoW upsert path
+            u = with_row_digest(u.drop("_digest"), compare, "_digest", impl=digest_impl)
+        merged = self._merge_versions(u, schema, digest_impl=digest_impl)
+        return merged.withColumn("_bucket", _bucket_expr(self.key_cols, n_buckets))
+
+    def _read_raw_from(
+        self, meta: dict, buckets: Sequence[int] | None = None
+    ) -> DataFrame:
+        """``_read_raw`` against an EXPLICIT manifest (current or a frozen
+        history manifest — time travel shares the code path)."""
+        schema = T.StructType(
+            list(T.StructType.fromJson(meta["schema"]).fields)
+            + [T.StructField("_digest", T.StringType(), True)]
+        )
         bmap = meta.get("buckets", {})
         items = (
             bmap.items()
@@ -300,15 +499,15 @@ class HashBucketParquetTable:
         )
         dirs = [self._bucket_dir(int(b), gen) for b, gen in items]
         if not dirs:
-            df = self.spark.createDataFrame([], self._file_schema())
+            df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.schema(self._file_schema()).parquet(*dirs)
+            df = self.spark.read.schema(schema).parquet(*dirs)
         return df.withColumn(
             "_bucket", _bucket_expr(self.key_cols, self._n_buckets(meta))
         )
 
     def read(self) -> DataFrame:
-        return self._read_raw().drop("_bucket", "_digest")
+        return self._read_merged_raw().drop("_bucket", "_digest")
 
     def commit_seq(self) -> int:
         """The table's current commit sequence number (0 = just-initialized)."""
@@ -330,22 +529,15 @@ class HashBucketParquetTable:
             raise ValueError(f"no manifest for commit {seq}; have {self.versions()}")
         hist = self.fs.read_json(path)
         live = self.fs.list_subdirs(self.data_path)
-        gone = sorted(set(hist.get("buckets", {}).values()) - live)
+        gone = sorted(self._referenced_gens(hist) - live)
         if gone:
             raise ValueError(
                 f"version {seq} references expired generations {gone} "
                 f"(older than retain_generations={self.retain_generations} commits)"
             )
-        dirs = [
-            self._bucket_dir(int(b), g) for b, g in hist.get("buckets", {}).items()
-        ]
-        schema = T.StructType(
-            list(T.StructType.fromJson(hist["schema"]).fields)
-            + [T.StructField("_digest", T.StringType(), True)]
-        )
-        if not dirs:
-            return self.spark.createDataFrame([], schema).drop("_digest")
-        return self.spark.read.schema(schema).parquet(*dirs).drop("_digest")
+        # a version captured mid-MOR folds ITS manifest's delta lists —
+        # time travel and current reads share the merge path
+        return self._read_merged_raw(meta=hist).drop("_bucket", "_digest")
 
     def _n_buckets(self, meta: dict | None = None) -> int:
         """The table's AUTHORITATIVE bucket count: the persisted one once
@@ -429,6 +621,11 @@ class HashBucketParquetTable:
         changes_b = changes.withColumn(
             "_bucket", _bucket_expr(self.key_cols, n_buckets)
         )
+        if self._write_mode_resolved(meta) == "mor":
+            self._upsert_mor(
+                changes_b, list(compare_cols), digest_impl, base_seq
+            )
+            return
         if touched is None:
             # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
             touched = [
@@ -437,8 +634,12 @@ class HashBucketParquetTable:
         touched = sorted(set(touched))
         if not touched:
             return
-        # manifest-resolved read of exactly the touched buckets' dirs
-        base = self._read_raw(buckets=touched).drop("_bucket")
+        # manifest-resolved read of exactly the touched buckets' dirs —
+        # MERGED (any outstanding MOR deltas fold in here and their lists
+        # are cleared by this commit: CoW rewrite supersedes them)
+        base = self._read_merged_raw(
+            buckets=touched, meta=meta, digest_impl=digest_impl
+        ).drop("_bucket")
         if not digests_current:
             # stored digests predate a compare-set change (schema evolution):
             # recompute over the touched rows — correct, costs one digest
@@ -464,6 +665,40 @@ class HashBucketParquetTable:
         # No caching: recomputing the plan is cheaper than materializing it,
         # and at scale cache memory is better spent on shuffle.
         self._commit_generation(merged, touched, expected_seq=base_seq)
+
+    def _upsert_mor(
+        self,
+        changes_b: DataFrame,
+        compare_cols: list[str],
+        digest_impl: str,
+        expected_seq: int,
+    ) -> None:
+        """Merge-on-read upsert: stage the change set AS a delta generation
+        (no base read, no base rewrite — write cost O(changes)), then
+        atomically append it to the touched buckets' delta lists. The
+        ``op`` column rides along: DELETE rows are tombstones, ADD/UPDATE
+        rows are upserts; ``read()`` resolves them per key. The change set
+        must be key-unique (lww_dedup first), same precondition as CoW."""
+        schema_cols = [f.name for f in self.data_schema().fields]
+        delta = with_row_digest(
+            changes_b, compare_cols, "_digest", impl=digest_impl
+        ).select(*schema_cols, "_digest", "op", "_bucket")
+        gen, written = self._write_generation(delta)
+        if not written:
+            return  # empty change set — nothing staged but an empty dir
+        meta = self._meta()
+        if int(meta.get("commit_seq", 0)) != expected_seq:
+            raise ConcurrentWriteError(
+                f"commit_seq advanced {expected_seq} → "
+                f"{int(meta.get('commit_seq', 0))} during this MOR upsert; "
+                f"staged delta {gen} left for the next sweep"
+            )
+        before_refs = self._referenced_gens(meta)
+        seq = int(meta.get("commit_seq", 0)) + 1
+        dmap = meta.setdefault("deltas", {})
+        for b in sorted(written):
+            dmap.setdefault(str(b), []).append({"gen": gen, "seq": seq})
+        self._finalize_commit(meta, seq, before_refs)
 
     def _commit_generation(
         self,
@@ -498,11 +733,14 @@ class HashBucketParquetTable:
                 f"state (staged generation {gen} left for the next sweep)"
             )
         bmap = meta.setdefault("buckets", {})
-        before_refs = set(bmap.values())
+        dmap = meta.setdefault("deltas", {})
+        before_refs = self._referenced_gens(meta)
         if full_replace:
             # the staged generation IS the whole table (rebucket): every
-            # prior mapping is superseded in the same atomic swap
+            # prior mapping AND every outstanding delta is superseded in
+            # the same atomic swap (the staged output was read merged)
             bmap.clear()
+            dmap.clear()
             for b in written:
                 bmap[str(b)] = gen
         else:
@@ -520,16 +758,28 @@ class HashBucketParquetTable:
                     bmap[str(b)] = gen
                 else:
                     bmap.pop(str(b), None)  # every row deleted → bucket is empty
+                # the new base encodes the merged state — outstanding
+                # deltas for this bucket are folded in and superseded
+                dmap.pop(str(b), None)
         seq = int(meta.get("commit_seq", 0)) + 1
+        if meta_updates:
+            meta.update(meta_updates)
+        self._finalize_commit(meta, seq, before_refs)
+
+    def _finalize_commit(
+        self, meta: dict, seq: int, before_refs: set[str]
+    ) -> None:
+        """Shared commit tail for base-swap and delta-append commits:
+        advance the sequence, RETIRE generations that lost their last
+        reference (snapshot retention), atomically swap the manifest,
+        freeze it into history, then GC."""
         meta["commit_seq"] = seq
         retired = meta.setdefault("retired", {})
-        for g in before_refs - set(bmap.values()):
+        for g in before_refs - self._referenced_gens(meta):
             retired[g] = seq  # lost its last reference at this commit
         expired = [g for g, s in retired.items() if seq >= int(s) + self.retain_generations]
         for g in expired:
             retired.pop(g, None)
-        if meta_updates:
-            meta.update(meta_updates)
         self._write_meta(meta)  # ← ATOMIC COMMIT POINT
         # manifest history: one frozen manifest per commit (time travel /
         # version diff); readable while its generations survive retention
@@ -540,6 +790,38 @@ class HashBucketParquetTable:
         # retention) + aged crashed-staging orphans; a crash in here
         # leaves unreferenced dirs for the next sweep
         self._sweep_unreferenced_generations(expired_now=expired)
+
+    def compact_deltas(self, max_deltas: int = 0) -> list[int]:
+        """MOR maintenance: fold every bucket holding more than
+        ``max_deltas`` outstanding delta generations back into a plain
+        base generation (Iceberg's rewrite_data_files + remove-deletes
+        action). Read-time-merge results are bit-identical before and
+        after — this trades one O(bucket) rewrite for every future read's
+        fold work. Returns the folded bucket ids.
+
+        At 100 TB: schedule by delta depth (the read-amplification knob) —
+        e.g. fold at 8 outstanding deltas, so reads never union more than
+        8 delta files per bucket while hot buckets aren't rewritten on
+        every epoch (the reason the table is MOR in the first place)."""
+        self._check_writable()
+        meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
+        crowded = [
+            int(b)
+            for b, entries in meta.get("deltas", {}).items()
+            if len(entries) > max_deltas
+        ]
+        if not crowded:
+            return []
+        crowded = sorted(crowded)
+        # optimistic-concurrency guarded like any commit: a concurrent
+        # upsert wins and this maintenance rewrite aborts, never the reverse
+        self._commit_generation(
+            self._read_merged_raw(buckets=crowded, meta=meta),
+            crowded,
+            expected_seq=base_seq,
+        )
+        return crowded
 
     #: event-control columns that never belong to the table schema
     _CONTROL_COLS = ("op", "event_seq", "epoch")
@@ -577,9 +859,17 @@ class HashBucketParquetTable:
         if meta.get("digest_cols") == compare:
             return
         rewritten = with_row_digest(
-            self._read_raw().drop("_digest"), compare, "_digest", impl=digest_impl
+            self._read_merged_raw(meta=meta, digest_impl=digest_impl).drop("_digest"),
+            compare,
+            "_digest",
+            impl=digest_impl,
         )
-        touched = [int(b) for b in meta.get("buckets", {})]
+        # buckets live in the base map OR delta-only (MOR bucket never
+        # yet folded) — both get a fresh base generation here
+        touched = sorted(
+            {int(b) for b in meta.get("buckets", {})}
+            | {int(b) for b in meta.get("deltas", {})}
+        )
         # digest_cols advances IN the same atomic commit (no follow-up
         # read-modify-write), guarded by the optimistic-concurrency check —
         # a concurrent upsert's commit aborts this maintenance run instead
@@ -610,8 +900,11 @@ class HashBucketParquetTable:
             return []
         # optimistic-concurrency guarded like any commit: a concurrent
         # upsert wins and this maintenance rewrite aborts, never the reverse
+        # (merged read: compacting a bucket also folds its MOR deltas)
         self._commit_generation(
-            self._read_raw(buckets=crowded), crowded, expected_seq=base_seq
+            self._read_merged_raw(buckets=crowded, meta=meta),
+            crowded,
+            expected_seq=base_seq,
         )
         return crowded
 
@@ -639,7 +932,7 @@ class HashBucketParquetTable:
             raise ValueError(f"n_buckets must be ≥ 1, got {new_n_buckets}")
         if new_n_buckets == self._n_buckets(meta):
             return
-        rewritten = self._read_raw().drop("_bucket").withColumn(
+        rewritten = self._read_merged_raw(meta=meta).drop("_bucket").withColumn(
             "_bucket", _bucket_expr(self.key_cols, new_n_buckets)
         )
         self._commit_generation(
