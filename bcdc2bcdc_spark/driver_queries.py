@@ -3433,3 +3433,111 @@ QUERIES["mor_pipeline_e2e"] = q_mor_pipeline_e2e
 ORACLES["mor_pipeline_e2e"] = SQL_PIPELINE_E2E
 QUERIES["mor_compact_e2e"] = q_mor_compact_e2e
 ORACLES["mor_compact_e2e"] = SQL_PIPELINE_E2E
+
+
+# ---------------------------------------------------------------------------
+# change data feed + incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+#: one pipeline-built lake per sf_dir, shared by the feed/MV contract rows
+#: (session-temp, atexit-removed). Versions: 1=init, 2=epoch0, 3=epoch1.
+_FEED_LAKE_CACHE: dict[str, str] = {}
+
+
+def _feed_lake(spark: SparkSession, sf_dir: str):
+    """Build (once per session per sf_dir) the two-epoch contract lake and
+    return the table handle. retain_generations is sized so every version
+    stays time-travel-readable for the feed queries."""
+    from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+    from bcdc2bcdc_spark.plans.pipeline import CDCPipeline
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    if sf_dir not in _FEED_LAKE_CACHE:
+        work = _session_tmp(f"feed_lake_{abs(hash(sf_dir)) % 10**8}")
+        ev = cdc_events(spark, sf_dir)
+        half = _half_seq_dir(spark, sf_dir)
+        ev = ev.withColumnRenamed("commit_id", "commit").withColumn(
+            "epoch", F.when(F.col("event_seq") <= half, F.lit(0)).otherwise(F.lit(1))
+        )
+        table = HashBucketParquetTable(
+            spark, f"{work}/lake", n_buckets=16, retain_generations=16
+        )
+        table.init(spark.createDataFrame([], REPOS_SCHEMA))
+        CDCPipeline(
+            table=table,
+            checkpoints=CheckpointStore(f"{work}/ckpt"),
+            digest_impl="arrow",
+            order_cols=LWW_ORDER_COMMIT,
+        ).run(ev)
+        _FEED_LAKE_CACHE[sf_dir] = f"{work}/lake"
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable as _T
+
+    return _T(spark, _FEED_LAKE_CACHE[sf_dir], n_buckets=16, retain_generations=16)
+
+
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED hard-signal row (Delta table_changes / Iceberg
+    changelog analog, sources/lake.py read_changes): the delta between two
+    committed lake versions — epoch-0 state (v2) → final state (v3) —
+    classified ADD/UPDATE/DELETE from PERSISTED digests over
+    manifest-diff-pruned buckets only. Must equal the independent SQL
+    diff of the half-log vs full-log replay states. DELETE rows carry
+    NULL payload (the replayable DELETE-event shape)."""
+    t = _feed_lake(spark, sf_dir)
+    return t.read_changes(2, 3).select(
+        "repo", "path", F.col("commit").alias("commit_id"), "lang", "content", "op"
+    )
+
+
+SQL_CHANGE_FEED = f"""
+    WITH src AS ({SNAP_SQL.format(ev=EV_SQL, where="")}),
+         dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")}),
+         j AS (
+           SELECT COALESCE(s.repo, d.repo) AS repo,
+                  COALESCE(s.path, d.path) AS path,
+                  s.commit_id, s.lang, s.content,
+                  CASE WHEN d.repo IS NULL THEN 'ADD'
+                       WHEN s.repo IS NULL THEN 'DELETE'
+                       WHEN {_DIGEST_SQL.format(c="s.lang || chr(31) || s.content")}
+                         <> {_DIGEST_SQL.format(c="d.lang || chr(31) || d.content")}
+                       THEN 'UPDATE' END AS op
+           FROM src s FULL OUTER JOIN dest d
+             ON s.repo = d.repo AND s.path = d.path
+         )
+    SELECT repo, path, commit_id, lang, content, op FROM j WHERE op IS NOT NULL
+"""
+
+
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance hard-signal row
+    (operators/mv.py): a per-repo COUNT/SUM rollup initialized from the
+    epoch-0 version and advanced ONLY by the pre/post-image change feed —
+    O(changes) maintenance, the table is never rescanned — must equal the
+    SQL GROUP BY over the final replay state exactly (group death
+    included). The scale story the reference's per-run summary recount
+    (CKANUpdate.py:120-145) cannot deliver at 100 TB."""
+    from bcdc2bcdc_spark.operators.mv import IncrementalAggregate
+
+    t = _feed_lake(spark, sf_dir)
+    agg = IncrementalAggregate(
+        group_cols=("repo",), measures={"total_bytes": "length(content)"}
+    )
+    return agg.apply_delta(
+        agg.full_state(t.read_version(2)),
+        agg.delta(t.read_changes(2, 3, include_pre=True)),
+    )
+
+
+SQL_INCREMENTAL_MV = f"""
+    SELECT repo,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(content)) AS BIGINT) AS total_bytes
+    FROM ({SNAP_SQL.format(ev=EV_SQL, where="")})
+    GROUP BY repo
+"""
+
+QUERIES["change_feed"] = q_change_feed
+ORACLES["change_feed"] = SQL_CHANGE_FEED
+QUERIES["incremental_mv"] = q_incremental_mv
+ORACLES["incremental_mv"] = SQL_INCREMENTAL_MV

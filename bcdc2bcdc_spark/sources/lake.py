@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from bcdc2bcdc_spark.functions.digest import with_row_digest
 from bcdc2bcdc_spark.operators.apply import apply_changes
 from bcdc2bcdc_spark.operators.diff import COMPARE_COLS
-from bcdc2bcdc_spark.schema import KEY_COLS, OP_DELETE
+from bcdc2bcdc_spark.schema import KEY_COLS, OP_ADD, OP_DELETE, OP_UPDATE
 from bcdc2bcdc_spark.sources.fs import LocalFS
 
 
@@ -527,6 +527,17 @@ class HashBucketParquetTable:
         path = os.path.join(self.path, "_history", f"manifest-{seq}.json")
         if not self.fs.exists(path):
             raise ValueError(f"no manifest for commit {seq}; have {self.versions()}")
+        hist = self._hist_meta(seq)
+        # a version captured mid-MOR folds ITS manifest's delta lists —
+        # time travel and current reads share the merge path
+        return self._read_merged_raw(meta=hist).drop("_bucket", "_digest")
+
+    def _hist_meta(self, seq: int) -> dict:
+        """Load + validate a frozen history manifest: it must exist and its
+        generations must still survive the retention window."""
+        path = os.path.join(self.path, "_history", f"manifest-{seq}.json")
+        if not self.fs.exists(path):
+            raise ValueError(f"no manifest for commit {seq}; have {self.versions()}")
         hist = self.fs.read_json(path)
         live = self.fs.list_subdirs(self.data_path)
         gone = sorted(self._referenced_gens(hist) - live)
@@ -535,9 +546,117 @@ class HashBucketParquetTable:
                 f"version {seq} references expired generations {gone} "
                 f"(older than retain_generations={self.retain_generations} commits)"
             )
-        # a version captured mid-MOR folds ITS manifest's delta lists —
-        # time travel and current reads share the merge path
-        return self._read_merged_raw(meta=hist).drop("_bucket", "_digest")
+        return hist
+
+    def changed_buckets(self, from_seq: int, to_seq: int) -> list[int] | None:
+        """Buckets whose manifest entry (base generation + delta list)
+        differs between two frozen versions. Generations are immutable, so
+        an IDENTICAL entry proves identical content — the feed reads only
+        the returned buckets. ``None`` means the bucket scheme itself
+        changed (rebucket) and no pruning is possible."""
+        m_from, m_to = self._hist_meta(from_seq), self._hist_meta(to_seq)
+        if self._n_buckets(m_from) != self._n_buckets(m_to):
+            return None
+        def entry(m: dict, b: str):
+            return (
+                m.get("buckets", {}).get(b),
+                tuple(
+                    (e["gen"], int(e["seq"]))
+                    for e in m.get("deltas", {}).get(b, [])
+                ),
+            )
+        all_b = set(m_from.get("buckets", {})) | set(m_to.get("buckets", {}))
+        all_b |= set(m_from.get("deltas", {})) | set(m_to.get("deltas", {}))
+        return sorted(int(b) for b in all_b if entry(m_from, b) != entry(m_to, b))
+
+    def read_changes(
+        self,
+        from_seq: int,
+        to_seq: int,
+        include_pre: bool = False,
+        digest_impl: str = "jvm",
+    ) -> DataFrame:
+        """The CHANGE DATA FEED between two committed versions (Delta
+        Lake ``table_changes`` / Iceberg changelog-scan analog): one row
+        per key whose state differs, with ``op`` ∈ {ADD, UPDATE, DELETE},
+        the post-image payload (NULL for DELETE — the shape of a DELETE
+        change event, replayable straight into another table's upsert),
+        and, with ``include_pre``, the pre-image as ``pre_<col>`` columns
+        (NULL for ADD) — what incremental aggregate maintenance consumes.
+
+        Scale path: ``changed_buckets`` prunes the diff to buckets whose
+        manifest entries differ (immutable generations ⇒ identical entry =
+        identical content), then ONE full-outer join per changed bucket
+        set comparing PERSISTED digests — zero digest recompute when the
+        two versions share a compare set. Cost is O(changed buckets), not
+        O(table): the same read profile as the upserts that produced the
+        interval."""
+        if from_seq >= to_seq:
+            raise ValueError(f"need from_seq < to_seq, got {from_seq} >= {to_seq}")
+        m_from, m_to = self._hist_meta(from_seq), self._hist_meta(to_seq)
+        buckets = self.changed_buckets(from_seq, to_seq)
+        schema_to = T.StructType.fromJson(m_to["schema"])
+        key_cols = list(self.key_cols)
+        payload = [f.name for f in schema_to.fields if f.name not in key_cols]
+        empty_feed = T.StructType(
+            list(schema_to.fields)
+            + [T.StructField("op", T.StringType(), True)]
+            + (
+                [
+                    T.StructField(f"pre_{c}", schema_to[c].dataType, True)
+                    for c in payload
+                ]
+                if include_pre
+                else []
+            )
+        )
+        if buckets is not None and not buckets:
+            return self.spark.createDataFrame([], empty_feed)
+        old = self._read_merged_raw(
+            buckets=buckets, meta=m_from, digest_impl=digest_impl
+        ).drop("_bucket")
+        new = self._read_merged_raw(
+            buckets=buckets, meta=m_to, digest_impl=digest_impl
+        ).drop("_bucket")
+        cmp_from = m_from.get("compare_cols", list(self.compare_cols))
+        cmp_to = m_to.get("compare_cols", list(self.compare_cols))
+        if cmp_from != cmp_to:
+            # schema evolved between the versions: re-digest BOTH sides
+            # over the newer compare set so UPDATE detection is coherent
+            # (the old side NULL-backfills evolved columns)
+            from bcdc2bcdc_spark.evolution import reconcile_to_schema
+
+            old = reconcile_to_schema(old.drop("_digest"), schema_to)
+            old = with_row_digest(old, cmp_to, "_digest", impl=digest_impl)
+            new = with_row_digest(
+                new.drop("_digest"), cmp_to, "_digest", impl=digest_impl
+            )
+        o = old.select(
+            *key_cols,
+            *[F.col(c).alias(f"_pre_{c}") for c in payload],
+            F.col("_digest").alias("_od"),
+        )
+        n = new.select(*key_cols, *payload, F.col("_digest").alias("_nd"))
+        j = n.join(o, key_cols, "full_outer")
+        op = (
+            F.when(F.col("_od").isNull(), F.lit(OP_ADD))
+            .when(F.col("_nd").isNull(), F.lit(OP_DELETE))
+            .when(F.col("_nd") != F.col("_od"), F.lit(OP_UPDATE))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        out_cols = [
+            *key_cols,
+            *[
+                F.when(F.col("op") != OP_DELETE, F.col(c)).alias(c)
+                for c in payload
+            ],
+            "op",
+        ]
+        if include_pre:
+            out_cols += [F.col(f"_pre_{c}").alias(f"pre_{c}") for c in payload]
+        return (
+            j.withColumn("op", op).filter(F.col("op").isNotNull()).select(*out_cols)
+        )
 
     def _n_buckets(self, meta: dict | None = None) -> int:
         """The table's AUTHORITATIVE bucket count: the persisted one once
