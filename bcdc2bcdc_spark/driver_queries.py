@@ -3541,3 +3541,47 @@ QUERIES["change_feed"] = q_change_feed
 ORACLES["change_feed"] = SQL_CHANGE_FEED
 QUERIES["incremental_mv"] = q_incremental_mv
 ORACLES["incremental_mv"] = SQL_INCREMENTAL_MV
+
+
+def q_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake→lake replication hard-signal row (plans/replicate.py — the
+    reference's whole mission, source→dest convergence, re-expressed over
+    the change feed): an empty destination is advanced by TWO incremental
+    syncs (init→epoch-0 version, then →head), each applying only the
+    manifest-diff feed — never a full-table copy — and the destination's
+    final state must equal the independent SQL replay of the full log.
+    Replication cost tracks the change rate, not the table size."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.plans.checkpoint import CheckpointStore
+    from bcdc2bcdc_spark.plans.replicate import TableReplicator
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    src = _feed_lake(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_repl_")
+    out = _session_tmp("replication_e2e")
+    try:
+        dst = HashBucketParquetTable(spark, f"{work}/dst", n_buckets=16)
+        dst.init(spark.createDataFrame([], REPOS_SCHEMA))
+        rep = TableReplicator(
+            src=src, dst=dst, checkpoints=CheckpointStore(f"{work}/ckpt")
+        )
+        first = rep.sync(to_seq=2, digest_impl="arrow")
+        second = rep.sync(digest_impl="arrow")
+        if first["changes"] < 0 or second["changes"] < 0:
+            raise AssertionError(f"replication made no progress: {first} {second}")
+        (
+            dst.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+QUERIES["replication_e2e"] = q_replication_e2e
+ORACLES["replication_e2e"] = SQL_PIPELINE_E2E
