@@ -3585,3 +3585,55 @@ def q_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["replication_e2e"] = q_replication_e2e
 ORACLES["replication_e2e"] = SQL_PIPELINE_E2E
+
+
+def q_stream_feed_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING replication hard-signal row — the first streaming path
+    with a full DuckDB oracle: the lake's change feed consumed as a real
+    Structured Streaming source (``format("cdclake")``, PySpark 4 Python
+    Data Source API — stream offsets ARE commit sequence numbers,
+    partitions are manifest-diff changed buckets, executor-side pyarrow
+    fold mirrors the JVM merge) and applied through
+    ``foreachBatch(dst.upsert)``. After the stream drains, the
+    destination's payload state must equal the independent SQL replay of
+    the full event log. The reference's source→dest sync as a continuous
+    query."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.datasource import stream_changes
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    src = _feed_lake(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_sfeed_")
+    out = _session_tmp("stream_feed_replication")
+    try:
+        dst = HashBucketParquetTable(spark, f"{work}/dst", n_buckets=16)
+        # stream starts at version 1 = src's EMPTY init → dst bootstraps empty
+        dst.init(spark.createDataFrame([], REPOS_SCHEMA))
+
+        def apply_batch(batch_df, _bid):
+            dst.upsert(batch_df.drop("_version"), digest_impl="arrow")
+
+        q = (
+            stream_changes(spark, src.path, start_seq=1)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/stream_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        (
+            dst.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+QUERIES["stream_feed_replication"] = q_stream_feed_replication
+ORACLES["stream_feed_replication"] = SQL_PIPELINE_E2E

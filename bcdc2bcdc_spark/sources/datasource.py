@@ -1,0 +1,387 @@
+"""``cdclake`` — the lake as a first-class Spark data source (PySpark 4
+Python Data Source API).
+
+* ``spark.read.format("cdclake").option("path", p).load()`` scans the
+  CURRENT table state: one input partition per bucket, each folding its
+  base + outstanding MOR deltas executor-side.
+* ``spark.readStream.format("cdclake").option("path", p).load()`` tails
+  the CHANGE DATA FEED: stream offsets ARE the table's commit sequence
+  numbers, each micro-batch is the manifest-diff between two committed
+  versions, and partitions are the CHANGED buckets only — the streaming
+  form of ``HashBucketParquetTable.read_changes`` (sources/lake.py).
+  Feeding it to ``foreachBatch(dst.upsert)`` is streaming lake→lake
+  replication (the reference's source→dest sync as a continuous query).
+
+Executor-side reads use pyarrow + pandas directly (a Python data source
+runs its ``read()`` in Python workers — there is no SparkSession there),
+re-implementing the same per-key version fold as the JVM path
+(`lake._merge_versions`): versions sorted by commit seq, DELETE resets,
+digest-equal upsert keeps the prior row (no-op suppression preserves
+``commit``). ``tests/test_datasource.py`` pins the two implementations
+together. Work per partition is O(bucket + its deltas); planning is
+driver-side manifest JSON only.
+
+Offsets/retention: a stream that falls more than ``retain_generations``
+commits behind loses the frozen manifests it needs — same contract as
+``read_version``. Size retention to the longest expected stream outage.
+
+Rows are yielded as Arrow RecordBatches (one per partition), not
+per-row tuples — the Arrow path keeps the Python-source overhead at the
+batch level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql import SparkSession, types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+OP_DELETE = "DELETE"  # schema.py constant, inlined: executors import nothing heavy
+
+
+# ---------------------------------------------------------------------------
+# executor-side helpers (plain pyarrow/pandas — no Spark)
+# ---------------------------------------------------------------------------
+
+
+def _read_dir(path: str, columns: list[str]):
+    """All parquet files directly under ``path`` as one pandas frame with
+    exactly ``columns`` (missing columns NULL-backfilled — schema
+    evolution reads old files under the new schema, like the JVM path)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    frames = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                frames.append(pq.read_table(os.path.join(path, f)).to_pandas())
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in columns})
+    df = pd.concat(frames, ignore_index=True)
+    for c in columns:
+        if c not in df.columns:
+            df[c] = None
+    return df[columns]
+
+
+def _load_versions(spec: dict, columns: list[str]):
+    """One version's rows for one bucket: base dir at seq -1 plus delta
+    dirs at their commit seqs, concatenated with a ``_seq`` column."""
+    import pandas as pd
+
+    parts = []
+    if spec.get("base"):
+        b = _read_dir(spec["base"], columns + ["_digest"])
+        b["op"] = None
+        b["_seq"] = -1
+        parts.append(b)
+    for d in spec.get("deltas", []):
+        f = _read_dir(d["dir"], columns + ["_digest", "op"])
+        f["_seq"] = int(d["seq"])
+        parts.append(f)
+    if not parts:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in columns + ["_digest", "op", "_seq"]}
+        )
+    return pd.concat(parts, ignore_index=True)
+
+
+def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str]):
+    """The per-key version fold (pandas mirror of lake._merge_versions):
+    sort by seq, DELETE resets, digest-equal upsert is a no-op that keeps
+    the prior row. O(rows) single pass after one sort."""
+    df = _load_versions(spec, columns)
+    if df.empty:
+        return df.drop(columns=["op", "_seq"], errors="ignore")
+    df = df.sort_values([*key_cols, "_seq"], kind="mergesort")
+    state: dict[tuple, tuple] = {}
+    key_ix = [df.columns.get_loc(c) for c in key_cols]
+    dig_ix = df.columns.get_loc("_digest")
+    op_ix = df.columns.get_loc("op")
+    for row in df.itertuples(index=False, name=None):
+        k = tuple(row[i] for i in key_ix)
+        if row[op_ix] == OP_DELETE:
+            state.pop(k, None)
+            continue
+        cur = state.get(k)
+        if cur is not None and cur[dig_ix] == row[dig_ix]:
+            continue  # no-op upsert: keep prior row (commit preserved)
+        state[k] = row
+    import pandas as pd
+
+    out = pd.DataFrame(list(state.values()), columns=list(df.columns))
+    return out.drop(columns=["op", "_seq"])
+
+
+def _diff_bucket(old_spec: dict, new_spec: dict, key_cols: list[str],
+                 columns: list[str]):
+    """Feed rows for one bucket between two versions: outer-merge the two
+    folded states on the key, classify by persisted digest."""
+    import pandas as pd
+
+    old = _fold_bucket(old_spec, key_cols, columns)
+    new = _fold_bucket(new_spec, key_cols, columns)
+    payload = [c for c in columns if c not in key_cols]
+    old = old.rename(columns={c: f"_o_{c}" for c in [*payload, "_digest"]})
+    new = new.rename(columns={"_digest": "_n_digest"})
+    j = new.merge(old, on=key_cols, how="outer", indicator=True)
+    ops = []
+    for m, nd, od in zip(j["_merge"], j["_n_digest"], j["_o__digest"]):
+        if m == "left_only":
+            ops.append("ADD")
+        elif m == "right_only":
+            ops.append(OP_DELETE)
+        elif nd != od:
+            ops.append("UPDATE")
+        else:
+            ops.append(None)
+    j["op"] = pd.Series(ops, index=j.index, dtype="object")
+    j = j[j["op"].notna()]
+    for c in payload:  # DELETE rows carry NULL payload (event shape)
+        j.loc[j["op"] == OP_DELETE, c] = None
+    return j[[*key_cols, *payload, "op"]]
+
+
+def _arrow_schema(spark_schema: T.StructType):
+    """Explicit Arrow schema: an all-NULL column must still carry its
+    declared type (from_pylist would infer pa.null and break the source
+    contract)."""
+    import pyarrow as pa
+
+    mapping = {
+        T.StringType(): pa.string(),
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.FloatType(): pa.float32(),
+        T.BooleanType(): pa.bool_(),
+        T.BinaryType(): pa.binary(),
+    }
+    fields = []
+    for f in spark_schema.fields:
+        if f.dataType not in mapping:
+            raise TypeError(
+                f"cdclake: unsupported column type {f.dataType} for {f.name}"
+            )
+        fields.append(pa.field(f.name, mapping[f.dataType]))
+    return pa.schema(fields)
+
+
+def _to_record_batch(df, schema: T.StructType):
+    import pyarrow as pa
+
+    names = [f.name for f in schema.fields]
+    clean = df[names].astype("object")
+    clean = clean.where(clean.notna(), None)
+    arrow = _arrow_schema(schema)
+    arrays = [
+        pa.array(list(clean[n]), type=arrow.field(n).type) for n in names
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow)
+
+
+# ---------------------------------------------------------------------------
+# planning helpers (driver-side manifest JSON)
+# ---------------------------------------------------------------------------
+
+
+def _read_json(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _manifest(table_path: str, seq: int | None = None) -> dict:
+    if seq is None:
+        return _read_json(os.path.join(table_path, "_table.json"))
+    p = os.path.join(table_path, "_history", f"manifest-{seq}.json")
+    if not os.path.exists(p):
+        raise ValueError(f"no frozen manifest for commit {seq} at {table_path}")
+    return _read_json(p)
+
+
+def _bucket_spec(meta: dict, table_path: str, bucket: str) -> dict:
+    data = os.path.join(table_path, "data")
+    base_gen = meta.get("buckets", {}).get(bucket)
+    return {
+        "base": os.path.join(data, base_gen, f"_bucket={bucket}") if base_gen else None,
+        "deltas": [
+            {"dir": os.path.join(data, e["gen"], f"_bucket={bucket}"), "seq": e["seq"]}
+            for e in meta.get("deltas", {}).get(bucket, [])
+        ],
+    }
+
+
+def _entry(meta: dict, bucket: str):
+    return (
+        meta.get("buckets", {}).get(bucket),
+        tuple((e["gen"], int(e["seq"])) for e in meta.get("deltas", {}).get(bucket, [])),
+    )
+
+
+class _BucketPartition(InputPartition):
+    def __init__(self, payload: dict) -> None:
+        super().__init__(payload)
+
+
+# ---------------------------------------------------------------------------
+# the data source
+# ---------------------------------------------------------------------------
+
+
+class LakeChangeFeedDataSource(DataSource):
+    """``format("cdclake")`` — batch: current merged snapshot (+``op``
+    NULL, ``_version`` = head); stream: the change data feed (``op`` set,
+    ``_version`` = the micro-batch's end commit seq)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdclake"
+
+    def _table_path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("cdclake requires .option('path', <table dir>)")
+        return p
+
+    def schema(self) -> T.StructType:
+        meta = _manifest(self._table_path())
+        payload = T.StructType.fromJson(meta["schema"])
+        return T.StructType(
+            list(payload.fields)
+            + [
+                T.StructField("op", T.StringType(), True),
+                T.StructField("_version", T.LongType(), True),
+            ]
+        )
+
+    def reader(self, schema: T.StructType) -> "LakeSnapshotReader":
+        return LakeSnapshotReader(self._table_path(), schema)
+
+    def streamReader(self, schema: T.StructType) -> "LakeFeedStreamReader":
+        return LakeFeedStreamReader(
+            self._table_path(),
+            schema,
+            start_seq=int(self.options.get("startseq", "1")),
+        )
+
+
+class LakeSnapshotReader(DataSourceReader):
+    def __init__(self, path: str, schema: T.StructType) -> None:
+        self.path = path
+        self.out_schema = schema
+        meta = _manifest(path)
+        self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
+        self.columns = [f.name for f in T.StructType.fromJson(meta["schema"]).fields]
+        self.head = int(meta.get("commit_seq", 0))
+        self.specs = [
+            _bucket_spec(meta, path, b)
+            for b in sorted(
+                set(meta.get("buckets", {})) | set(meta.get("deltas", {})), key=int
+            )
+        ]
+
+    def partitions(self):
+        return [_BucketPartition(s) for s in self.specs] or [_BucketPartition({})]
+
+    def read(self, partition: _BucketPartition) -> Iterator:
+        spec = partition.value
+        if not spec:
+            return
+        df = _fold_bucket(spec, self.key_cols, self.columns)
+        if df.empty:
+            return
+        df["op"] = None
+        df["_version"] = self.head
+        yield _to_record_batch(df, self.out_schema)
+
+
+class LakeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: T.StructType, start_seq: int) -> None:
+        self.path = path
+        self.out_schema = schema
+        self.start_seq = start_seq
+        meta = _manifest(path)
+        self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
+
+    def initialOffset(self) -> dict:
+        return {"seq": self.start_seq}
+
+    def latestOffset(self) -> dict:
+        return {"seq": int(_manifest(self.path).get("commit_seq", 0))}
+
+    def partitions(self, start: dict, end: dict):
+        a, b = int(start["seq"]), int(end["seq"])
+        if b <= a:
+            return [_BucketPartition({})]
+        m_a, m_b = _manifest(self.path, a), _manifest(self.path, b)
+        if int(m_a.get("n_buckets", 0)) != int(m_b.get("n_buckets", 0)):
+            raise ValueError(
+                f"bucket scheme changed inside stream interval {a}→{b} "
+                "(rebucket); restart the stream from a post-rebucket offset "
+                "or use the batch read_changes path"
+            )
+        columns = [f["name"] for f in m_b["schema"]["fields"]]
+        out = []
+        all_b = set(m_a.get("buckets", {})) | set(m_b.get("buckets", {}))
+        all_b |= set(m_a.get("deltas", {})) | set(m_b.get("deltas", {}))
+        for bucket in sorted(all_b, key=int):
+            if _entry(m_a, bucket) == _entry(m_b, bucket):
+                continue  # immutable generations: identical entry ⇒ no change
+            out.append(
+                _BucketPartition(
+                    {
+                        "old": _bucket_spec(m_a, self.path, bucket),
+                        "new": _bucket_spec(m_b, self.path, bucket),
+                        "columns": columns,
+                        "version": b,
+                    }
+                )
+            )
+        return out or [_BucketPartition({})]
+
+    def read(self, partition: _BucketPartition) -> Iterator:
+        spec = partition.value
+        if not spec:
+            return
+        df = _diff_bucket(
+            spec["old"], spec["new"], self.key_cols, spec["columns"]
+        )
+        if df.empty:
+            return
+        df["_version"] = spec["version"]
+        yield _to_record_batch(df, self.out_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the lake's own commit-count contract
+
+
+def register_lake_source(spark: SparkSession) -> None:
+    spark.dataSource.register(LakeChangeFeedDataSource)
+
+
+def stream_changes(spark: SparkSession, table_path: str, start_seq: int = 1):
+    """The change feed as an unbounded DataFrame (micro-batch per new
+    committed version interval)."""
+    register_lake_source(spark)
+    return (
+        spark.readStream.format("cdclake")
+        .option("path", table_path)
+        .option("startseq", str(start_seq))
+        .load()
+    )
+
+
+def read_snapshot(spark: SparkSession, table_path: str):
+    """The current merged table state via the Python source (one
+    partition per bucket, MOR deltas folded executor-side)."""
+    register_lake_source(spark)
+    return spark.read.format("cdclake").option("path", table_path).load()

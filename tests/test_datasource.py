@@ -1,0 +1,125 @@
+"""The ``cdclake`` Python data source (PySpark 4 DataSource API): batch
+snapshot scan ≡ table.read(), streaming change feed ≡ read_changes, the
+pandas fold pinned to the JVM fold, and streaming lake→lake replication
+(feed → foreachBatch upsert) converging to the source."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bcdc2bcdc_spark.functions.canonicalize import canonicalize_events, canonicalize_snapshot
+from bcdc2bcdc_spark.generator import gen_events, gen_repos
+from bcdc2bcdc_spark.operators.lww import lww_dedup
+from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+from bcdc2bcdc_spark.sources.datasource import read_snapshot, stream_changes
+from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture
+def mor_table(spark, tmp_path):
+    """A MOR table with outstanding deltas across 3 versions."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=200, seed=7))
+    t = HashBucketParquetTable(
+        spark, str(tmp_path / "t"), n_buckets=4, write_mode="mor",
+        retain_generations=16,
+    )
+    t.init(base)
+    ev = canonicalize_events(
+        gen_events(spark, n_events=1500, n_keys=200, n_epochs=2, seed=7)
+    )
+    for e in range(2):
+        t.upsert(lww_dedup(ev.filter(F.col("epoch") == e).drop("epoch")))
+    return t
+
+
+def test_batch_snapshot_equals_table_read(spark, mor_table):
+    """The executor-side pandas fold ≡ the JVM merge — the pinning test
+    for the two implementations."""
+    snap = read_snapshot(spark, mor_table.path)
+    assert _rows(snap.drop("op", "_version")) == _rows(mor_table.read())
+    # op is NULL and _version is the head on every snapshot row
+    head = mor_table.commit_seq()
+    assert snap.filter(F.col("op").isNotNull()).count() == 0
+    assert snap.filter(F.col("_version") != head).count() == 0
+
+
+def test_stream_feed_equals_read_changes(spark, mor_table):
+    q = (
+        stream_changes(spark, mor_table.path)
+        .writeStream.format("memory")
+        .queryName("ds_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from ds_feed")
+    ref = mor_table.read_changes(1, mor_table.commit_seq())
+    cols = ["repo", "path", "lang", "content", "op"]
+    assert _rows(got.select(*cols)) == _rows(ref.select(*cols))
+
+
+def test_stream_incremental_microbatches(spark, mor_table):
+    """A running stream picks up NEW commits as separate micro-batches
+    with the right _version stamps."""
+    t = mor_table
+    q = (
+        stream_changes(spark, t.path)
+        .writeStream.format("memory")
+        .queryName("ds_incr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        v_head = t.commit_seq()
+        seen = spark.sql("select max(_version) m from ds_incr").first()["m"]
+        assert seen == v_head
+        one = (
+            t.read()
+            .limit(1)
+            .withColumn("op", F.lit("UPDATE"))
+            .withColumn("content", F.lit("stream-pickup"))
+        )
+        t.upsert(one)
+        q.processAllAvailable()
+        new_rows = spark.sql(
+            f"select * from ds_incr where _version = {v_head + 1}"
+        ).collect()
+        assert len(new_rows) == 1
+        assert new_rows[0]["content"] == "stream-pickup"
+        assert new_rows[0]["op"] == "UPDATE"
+    finally:
+        q.stop()
+
+
+def test_streaming_replication_converges(spark, mor_table, tmp_path):
+    """THE closing loop: readStream(cdclake) → foreachBatch(dst.upsert)
+    is continuous lake→lake replication; after the stream drains, dst
+    equals src exactly (the reference's source→dest mission as a
+    Structured Streaming query)."""
+    src = mor_table
+    dst = HashBucketParquetTable(spark, str(tmp_path / "dst"), n_buckets=4)
+    # the stream starts at version 1, so dst must BE src@v1 (the
+    # bootstrap contract, same as plans/replicate.TableReplicator):
+    # a feed only carries what changed after its start version
+    dst.init(src.read_version(1))
+
+    def apply_batch(batch_df, batch_id):
+        dst.upsert(batch_df.drop("_version"))
+
+    q = (
+        stream_changes(spark, src.path)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    from bcdc2bcdc_spark.operators.diff import datasets_equal
+
+    # canonical convergence; commit is compare-excluded version metadata
+    # (a coalesced feed nets delete+re-add-identical to "no change")
+    assert datasets_equal(dst.read(), src.read())
+    payload = ["repo", "path", "lang", "content"]
+    assert _rows(dst.read().select(*payload)) == _rows(src.read().select(*payload))
