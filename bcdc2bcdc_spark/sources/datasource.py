@@ -256,7 +256,10 @@ class LakeChangeFeedDataSource(DataSource):
         meta = _manifest(self._table_path())
         payload = T.StructType.fromJson(meta["schema"])
         return T.StructType(
-            list(payload.fields)
+            # EVERY field nullable regardless of the table schema: DELETE
+            # feed rows carry NULL payload by contract, and a non-null
+            # table field would make the unsafe projection NPE on them
+            [T.StructField(f.name, f.dataType, True) for f in payload.fields]
             + [
                 T.StructField("op", T.StringType(), True),
                 T.StructField("_version", T.LongType(), True),
@@ -271,6 +274,7 @@ class LakeChangeFeedDataSource(DataSource):
             self._table_path(),
             schema,
             start_seq=int(self.options.get("startseq", "1")),
+            max_versions_per_batch=int(self.options.get("maxversionsperbatch", "0")),
         )
 
 
@@ -305,10 +309,23 @@ class LakeSnapshotReader(DataSourceReader):
 
 
 class LakeFeedStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: T.StructType, start_seq: int) -> None:
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        start_seq: int,
+        max_versions_per_batch: int = 0,
+    ) -> None:
         self.path = path
         self.out_schema = schema
         self.start_seq = start_seq
+        #: rate limit (maxOffsetsPerTrigger analog): cap how many source
+        #: commits one micro-batch may span. 0 = unbounded (each batch
+        #: coalesces everything outstanding — cheapest, but nets out
+        #: intermediate states); 1 = per-commit replay (exact audit
+        #: trail, one batch per source version).
+        self.max_versions_per_batch = max_versions_per_batch
+        self._committed = start_seq
         meta = _manifest(path)
         self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
 
@@ -316,10 +333,17 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         return {"seq": self.start_seq}
 
     def latestOffset(self) -> dict:
-        return {"seq": int(_manifest(self.path).get("commit_seq", 0))}
+        head = int(_manifest(self.path).get("commit_seq", 0))
+        if self.max_versions_per_batch > 0:
+            head = min(head, self._committed + self.max_versions_per_batch)
+        return {"seq": head}
 
     def partitions(self, start: dict, end: dict):
         a, b = int(start["seq"]), int(end["seq"])
+        # advance the rate-limit cursor at PLANNING time — commit() may
+        # lag the next latestOffset() poll; replays re-enter via
+        # checkpointed offsets, never via latestOffset, so this is safe
+        self._committed = max(self._committed, b)
         if b <= a:
             return [_BucketPartition({})]
         m_a, m_b = _manifest(self.path, a), _manifest(self.path, b)
@@ -361,21 +385,31 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         yield _to_record_batch(df, self.out_schema)
 
     def commit(self, end: dict) -> None:
-        pass  # retention is the lake's own commit-count contract
+        # advance the rate-limit cursor; storage retention itself is the
+        # lake's own commit-count contract
+        self._committed = max(self._committed, int(end["seq"]))
 
 
 def register_lake_source(spark: SparkSession) -> None:
     spark.dataSource.register(LakeChangeFeedDataSource)
 
 
-def stream_changes(spark: SparkSession, table_path: str, start_seq: int = 1):
+def stream_changes(
+    spark: SparkSession,
+    table_path: str,
+    start_seq: int = 1,
+    max_versions_per_batch: int = 0,
+):
     """The change feed as an unbounded DataFrame (micro-batch per new
-    committed version interval)."""
+    committed version interval). ``max_versions_per_batch=1`` replays one
+    source commit per micro-batch (exact audit trail);  0 coalesces all
+    outstanding commits into each batch (cheapest catch-up)."""
     register_lake_source(spark)
     return (
         spark.readStream.format("cdclake")
         .option("path", table_path)
         .option("startseq", str(start_seq))
+        .option("maxversionsperbatch", str(max_versions_per_batch))
         .load()
     )
 

@@ -123,3 +123,30 @@ def test_streaming_replication_converges(spark, mor_table, tmp_path):
     assert datasets_equal(dst.read(), src.read())
     payload = ["repo", "path", "lang", "content"]
     assert _rows(dst.read().select(*payload)) == _rows(src.read().select(*payload))
+
+
+def test_stream_rate_limit_one_version_per_batch(spark, mor_table):
+    """maxversionsperbatch=1 → per-commit micro-batches: every source
+    version appears as its own _version stamp, and each batch equals that
+    version's exact read_changes — the audit-exact replay mode."""
+    t = mor_table
+    q = (
+        stream_changes(spark, t.path, max_versions_per_batch=1)
+        .writeStream.format("memory")
+        .queryName("ds_rate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from ds_rate")
+        versions = sorted(
+            r["_version"] for r in got.select("_version").distinct().collect()
+        )
+        assert versions == [2, 3]  # one batch per commit after the empty init
+        cols = ["repo", "path", "lang", "content", "op"]
+        for v in versions:
+            batch = got.filter(F.col("_version") == v).select(*cols)
+            ref = t.read_changes(v - 1, v).select(*cols)
+            assert _rows(batch) == _rows(ref), v
+    finally:
+        q.stop()
