@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lww-strategy", choices=["maxby", "window", "salted"], default="maxby")
     p.add_argument("--n-salts", type=int, default=16)
     p.add_argument("--digest-impl", choices=["arrow", "jvm"], default="arrow")
+    p.add_argument(
+        "--write-mode",
+        choices=["cow", "mor"],
+        default="cow",
+        help="lake write mode: copy-on-write rewrites touched buckets; "
+        "merge-on-read appends O(changes) deltas (compact separately)",
+    )
     p.add_argument("--transform-config", help="JSON transform config path")
     p.add_argument("--generate", type=int, default=0, help="synthesize N events (demo mode)")
     p.add_argument("--workdir", help="workdir for --generate demo mode")
@@ -99,7 +106,9 @@ def main(argv: list[str] | None = None) -> int:
     if not (args.events and args.lake and args.checkpoints):
         raise SystemExit("--events, --lake and --checkpoints are required (or --generate)")
 
-    table = HashBucketParquetTable(spark, args.lake, n_buckets=args.n_buckets)
+    table = HashBucketParquetTable(
+        spark, args.lake, n_buckets=args.n_buckets, write_mode=args.write_mode
+    )
     if not table.exists():
         if args.base:
             table.init(canonicalize_snapshot(spark.read.parquet(args.base)))
@@ -146,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
         "events_per_sec": round(n_events / wall, 1) if n_events else None,
         "final_rows": table.read().count(),
         "parallelism": spark.sparkContext.defaultParallelism,
+        "write_mode": args.write_mode,
     }
     print(json.dumps(out))
     return 0

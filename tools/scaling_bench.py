@@ -42,11 +42,25 @@ def make_zip(dst: str) -> str:
 
 
 def gen_input(workdir: str, n_events: int, n_epochs: int = 2) -> None:
-    """Materialize the shared input ONCE (both runs read these bytes).
+    """Materialize the shared input ONCE (both runs read these bytes) —
+    IN A SUBPROCESS: a py4j-launched JVM only dies when its parent Python
+    exits, so generating in-process leaves a local[16] JVM alive (and,
+    measured in run J/K, burning ~2 cores of GC/idle churn) through every
+    timed leg. The subprocess exit guarantees a clean box for the legs.
+
     Two epochs: enough to exercise the loop, while keeping the flat
     per-epoch cost (job scheduling, write commit) a small fraction of the
     parallel work — the quantity under test is the engine's scaling, not
     the sandbox's serial floor."""
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from tools.scaling_bench import _gen_input_inproc; "
+        "_gen_input_inproc(%r, %d, %d)" % (REPO, workdir, n_events, n_epochs)
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
+
+
+def _gen_input_inproc(workdir: str, n_events: int, n_epochs: int = 2) -> None:
     from bcdc2bcdc_spark.generator import gen_events, gen_repos
     from bcdc2bcdc_spark.session import get_spark
 
@@ -113,6 +127,7 @@ def _run_once(cores: int, workdir: str, zpath: str, attempt: int = 0) -> dict:
         "--lake", f"{rundir}/lake",
         "--checkpoints", f"{rundir}/ckpt",
         "--n-buckets", "64",
+        "--write-mode", os.environ.get("SCALING_WRITE_MODE", "cow"),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in reversed(out.stdout.strip().splitlines()):
@@ -160,8 +175,25 @@ def main() -> None:
         ceil = cpu_ceiling()
         gen_input(workdir, n_events)
         zpath = make_zip(workdir)
-        runs = run_all((2, 8, 32), workdir, zpath, repeats=repeats)
+        levels = tuple(
+            int(x)
+            for x in os.environ.get("SCALING_LEVELS", "2,8,32").split(",")
+        )
+        runs = run_all(levels, workdir, zpath, repeats=repeats)
         tput = {c: runs[c]["events_per_sec"] for c in runs}
+        if set(levels) != {2, 8, 32}:
+            # custom level set (e.g. a quick 2,8 probe): JSON only, no MD
+            print(json.dumps({
+                "n_events": n_events,
+                "write_mode": os.environ.get("SCALING_WRITE_MODE", "cow"),
+                "throughput": tput,
+                "wall": {c: runs[c]["wall_sec"] for c in runs},
+                "cpu_ceiling_wall": ceil,
+                "loadavg_before_best_leg": {
+                    c: runs[c].get("loadavg_before") for c in runs
+                },
+            }))
+            return
         eff_2_8 = tput[8] / (4 * tput[2])
         eff_8_32 = tput[32] / (4 * tput[8])
         ceil_2_8 = ceil[2] / (4 * ceil[8])
