@@ -3637,3 +3637,31 @@ def q_stream_feed_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["stream_feed_replication"] = q_stream_feed_replication
 ORACLES["stream_feed_replication"] = SQL_PIPELINE_E2E
+
+
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake point lookup hard-signal row (S5 on the lake,
+    sources/lake.py lookup): fetch the CURRENT rows for a key set —
+    including keys that were deleted or never existed (absent from the
+    result) — reading only the buckets those keys hash to (manifest
+    pruning) with key-sorted row-group stats inside and a broadcast
+    semi-join on top. Must equal the SQL replay state filtered to the
+    same key predicate."""
+    t = _feed_lake(spark, sf_dir)
+    keys = (
+        cdc_events(spark, sf_dir)
+        .select("repo", "path")
+        .distinct()
+        .filter(F.col("repo").isin("r1", "r7") & F.col("path").endswith("3"))
+    )
+    return t.lookup(keys).select("repo", "path", "lang", "content")
+
+
+SQL_LAKE_POINT_LOOKUP = f"""
+    SELECT repo, path, lang, content
+    FROM ({SNAP_SQL.format(ev=EV_SQL, where="")})
+    WHERE repo IN ('r1', 'r7') AND path LIKE '%3'
+"""
+
+QUERIES["lake_point_lookup"] = q_lake_point_lookup
+ORACLES["lake_point_lookup"] = SQL_LAKE_POINT_LOOKUP

@@ -198,7 +198,13 @@ class HashBucketParquetTable:
         gen = f"gen-{_uuid.uuid4().hex[:12]}"
         out = os.path.join(self.data_path, gen)
         (
+            # sortWithinPartitions: rows inside each bucket file are
+            # key-ordered, so parquet row-group min/max stats on the key
+            # columns become selective — point lookups skip row groups
+            # inside the one bucket they read (free at write time, the
+            # sort rides the same shuffle)
             df_with_bucket.repartition("_bucket")
+            .sortWithinPartitions(*self.key_cols)
             .write.partitionBy("_bucket")
             .parquet(out)
         )
@@ -509,6 +515,27 @@ class HashBucketParquetTable:
     def read(self) -> DataFrame:
         return self._read_merged_raw().drop("_bucket", "_digest")
 
+    def lookup(self, keys: DataFrame) -> DataFrame:
+        """Point lookup (S5): the current rows for a (small) key set,
+        reading ONLY the buckets those keys hash to. The scan is pruned
+        three ways at 100 TB: manifest → k/n_buckets of the table's
+        directories; parquet row-group min/max on the key columns (rows
+        are written key-sorted, see ``_write_generation``); and a
+        broadcast semi-join keeps only the requested keys. ``keys`` must
+        be a DataFrame of exactly the key columns; the touched-bucket
+        set is collected driver-side — bounded by n_buckets — like every
+        upsert's."""
+        meta = self._meta()
+        kb = keys.select(*self.key_cols).withColumn(
+            "_bucket", _bucket_expr(self.key_cols, self._n_buckets(meta))
+        )
+        buckets = [r["_bucket"] for r in kb.select("_bucket").distinct().collect()]
+        base = self._read_merged_raw(buckets=sorted(set(buckets)), meta=meta)
+        return base.join(
+            F.broadcast(keys.select(*self.key_cols).distinct()),
+            list(self.key_cols),
+        ).drop("_bucket", "_digest")
+
     def commit_seq(self) -> int:
         """The table's current commit sequence number (0 = just-initialized)."""
         return int(self._meta().get("commit_seq", 0))
@@ -590,7 +617,14 @@ class HashBucketParquetTable:
         set comparing PERSISTED digests — zero digest recompute when the
         two versions share a compare set. Cost is O(changed buckets), not
         O(table): the same read profile as the upserts that produced the
-        interval."""
+        interval.
+
+        PRECONDITION: table rows are key-complete (no NULL business-key
+        columns). The engine pipeline quarantines unmergeable null-key
+        events before any table sees them (plans/pipeline.py); rows that
+        bypass that via raw upserts never match themselves under SQL
+        null-join semantics and would surface as spurious ADD+DELETE
+        pairs here."""
         if from_seq >= to_seq:
             raise ValueError(f"need from_seq < to_seq, got {from_seq} >= {to_seq}")
         m_from, m_to = self._hist_meta(from_seq), self._hist_meta(to_seq)
