@@ -3623,7 +3623,12 @@ def q_stream_feed_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{work}/stream_ckpt")
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise AssertionError(
+                "feed stream did not drain within 600 s — refusing to "
+                "snapshot a partially-replicated destination"
+            )
         (
             dst.read()
             .select("repo", "path", "lang", "content")

@@ -71,9 +71,11 @@ def row_digest_expr(cols: list[Column | str]) -> Column:
     return F.sha2(F.concat_ws(_SEP, *inner), 256)
 
 
-@pandas_udf(T.StringType())
-def _row_digest_arrow(*series: pd.Series) -> pd.Series:
-    frame = pd.concat(series, axis=1)
+def pd_row_digest(frame: pd.DataFrame, cols: list[str]) -> pd.Series:
+    """Pure-pandas row digest, bit-identical to ``row_digest_expr`` — the
+    single implementation behind the Arrow UDF AND the ``cdclake`` Python
+    data source's executor-side fold (sources/datasource.py), so the two
+    engines can never drift."""
 
     def cell(v: object) -> str:
         data = _NULL_TAG if v is None or pd.isna(v) else _VAL_TAG + str(v)
@@ -85,7 +87,17 @@ def _row_digest_arrow(*series: pd.Series) -> pd.Series:
             return inner[0]
         return hashlib.sha256(_SEP.join(inner).encode("utf-8")).hexdigest()
 
-    return pd.Series([one(t) for t in frame.itertuples(index=False, name=None)])
+    sub = frame[list(cols)]
+    return pd.Series(
+        [one(t) for t in sub.itertuples(index=False, name=None)], index=frame.index
+    )
+
+
+@pandas_udf(T.StringType())
+def _row_digest_arrow(*series: pd.Series) -> pd.Series:
+    frame = pd.concat(series, axis=1)
+    frame.columns = list(range(len(series)))
+    return pd_row_digest(frame, list(frame.columns)).reset_index(drop=True)
 
 
 def with_row_digest(

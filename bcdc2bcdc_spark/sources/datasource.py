@@ -95,13 +95,24 @@ def _load_versions(spec: dict, columns: list[str]):
     return pd.concat(parts, ignore_index=True)
 
 
-def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str]):
+def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str],
+                 redigest_cols: list[str] | None = None):
     """The per-key version fold (pandas mirror of lake._merge_versions):
     sort by seq, DELETE resets, digest-equal upsert is a no-op that keeps
-    the prior row. O(rows) single pass after one sort."""
+    the prior row. O(rows) single pass after one sort.
+
+    ``redigest_cols``: when the manifest's stored digests are incoherent
+    (digest_cols lags compare_cols after evolve(), or the caller spans
+    two compare sets), recompute ``_digest`` over this column set with
+    the SAME bit-exact formula as the engine (functions/digest.py
+    pd_row_digest) — mirroring lake._read_merged_raw's lag branch."""
     df = _load_versions(spec, columns)
     if df.empty:
         return df.drop(columns=["op", "_seq"], errors="ignore")
+    if redigest_cols is not None:
+        from bcdc2bcdc_spark.functions.digest import pd_row_digest
+
+        df["_digest"] = pd_row_digest(df, redigest_cols)
     df = df.sort_values([*key_cols, "_seq"], kind="mergesort")
     state: dict[tuple, tuple] = {}
     key_ix = [df.columns.get_loc(c) for c in key_cols]
@@ -123,13 +134,15 @@ def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str]):
 
 
 def _diff_bucket(old_spec: dict, new_spec: dict, key_cols: list[str],
-                 columns: list[str]):
+                 columns: list[str], redigest_cols: list[str] | None = None):
     """Feed rows for one bucket between two versions: outer-merge the two
-    folded states on the key, classify by persisted digest."""
+    folded states on the key, classify by persisted digest (recomputed
+    over ``redigest_cols`` when the versions' stored digests are not
+    provably over one column set — same rule as lake.read_changes)."""
     import pandas as pd
 
-    old = _fold_bucket(old_spec, key_cols, columns)
-    new = _fold_bucket(new_spec, key_cols, columns)
+    old = _fold_bucket(old_spec, key_cols, columns, redigest_cols)
+    new = _fold_bucket(new_spec, key_cols, columns, redigest_cols)
     payload = [c for c in columns if c not in key_cols]
     old = old.rename(columns={c: f"_o_{c}" for c in [*payload, "_digest"]})
     new = new.rename(columns={"_digest": "_n_digest"})
@@ -286,6 +299,11 @@ class LakeSnapshotReader(DataSourceReader):
         self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
         self.columns = [f.name for f in T.StructType.fromJson(meta["schema"]).fields]
         self.head = int(meta.get("commit_seq", 0))
+        # stored digests are mixed-column-set while digest_cols lags the
+        # compare set (post-evolve, pre-redigest) — recompute in the fold
+        # so no-op suppression matches the JVM read exactly
+        compare = meta.get("compare_cols", [])
+        self.redigest = compare if meta.get("digest_cols", compare) != compare else None
         self.specs = [
             _bucket_spec(meta, path, b)
             for b in sorted(
@@ -300,7 +318,7 @@ class LakeSnapshotReader(DataSourceReader):
         spec = partition.value
         if not spec:
             return
-        df = _fold_bucket(spec, self.key_cols, self.columns)
+        df = _fold_bucket(spec, self.key_cols, self.columns, self.redigest)
         if df.empty:
             return
         df["op"] = None
@@ -323,9 +341,14 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         #: commits one micro-batch may span. 0 = unbounded (each batch
         #: coalesces everything outstanding — cheapest, but nets out
         #: intermediate states); 1 = per-commit replay (exact audit
-        #: trail, one batch per source version).
+        #: trail, one batch per source version). The FIRST batch of a
+        #: (re)started stream is always unbounded: the reader cannot see
+        #: Spark's checkpointed progress until a batch is planned, so a
+        #: start-seq-anchored clamp would hand a restarted stream an
+        #: offset BEHIND its checkpoint and stall it (restart-regression
+        #: bug, fixed). Limiting kicks in from the second batch on.
         self.max_versions_per_batch = max_versions_per_batch
-        self._committed = start_seq
+        self._cursor: int | None = None
         meta = _manifest(path)
         self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
 
@@ -334,16 +357,17 @@ class LakeFeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         head = int(_manifest(self.path).get("commit_seq", 0))
-        if self.max_versions_per_batch > 0:
-            head = min(head, self._committed + self.max_versions_per_batch)
+        if self.max_versions_per_batch > 0 and self._cursor is not None:
+            head = min(head, self._cursor + self.max_versions_per_batch)
         return {"seq": head}
 
     def partitions(self, start: dict, end: dict):
         a, b = int(start["seq"]), int(end["seq"])
         # advance the rate-limit cursor at PLANNING time — commit() may
-        # lag the next latestOffset() poll; replays re-enter via
-        # checkpointed offsets, never via latestOffset, so this is safe
-        self._committed = max(self._committed, b)
+        # lag the next latestOffset() poll. This is also where a
+        # restarted stream reveals its checkpointed progress (`end` of
+        # the replayed batch), seeding the cursor correctly.
+        self._cursor = b if self._cursor is None else max(self._cursor, b)
         if b <= a:
             return [_BucketPartition({})]
         m_a, m_b = _manifest(self.path, a), _manifest(self.path, b)
@@ -354,6 +378,17 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 "or use the batch read_changes path"
             )
         columns = [f["name"] for f in m_b["schema"]["fields"]]
+        # stored digests are comparable only when both versions' digests
+        # provably cover ONE column set (same rule as lake.read_changes);
+        # otherwise every partition recomputes over the newer compare set
+        cmp_a = m_a.get("compare_cols", [])
+        cmp_b = m_b.get("compare_cols", [])
+        coherent = (
+            cmp_a == cmp_b
+            and m_a.get("digest_cols", cmp_a) == cmp_a
+            and m_b.get("digest_cols", cmp_b) == cmp_b
+        )
+        redigest = None if coherent else cmp_b
         out = []
         all_b = set(m_a.get("buckets", {})) | set(m_b.get("buckets", {}))
         all_b |= set(m_a.get("deltas", {})) | set(m_b.get("deltas", {}))
@@ -367,6 +402,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                         "new": _bucket_spec(m_b, self.path, bucket),
                         "columns": columns,
                         "version": b,
+                        "redigest": redigest,
                     }
                 )
             )
@@ -377,7 +413,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         if not spec:
             return
         df = _diff_bucket(
-            spec["old"], spec["new"], self.key_cols, spec["columns"]
+            spec["old"],
+            spec["new"],
+            self.key_cols,
+            spec["columns"],
+            spec.get("redigest"),
         )
         if df.empty:
             return
@@ -387,7 +427,8 @@ class LakeFeedStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # advance the rate-limit cursor; storage retention itself is the
         # lake's own commit-count contract
-        self._committed = max(self._committed, int(end["seq"]))
+        e = int(end["seq"])
+        self._cursor = e if self._cursor is None else max(self._cursor, e)
 
 
 def register_lake_source(spark: SparkSession) -> None:
@@ -402,8 +443,11 @@ def stream_changes(
 ):
     """The change feed as an unbounded DataFrame (micro-batch per new
     committed version interval). ``max_versions_per_batch=1`` replays one
-    source commit per micro-batch (exact audit trail);  0 coalesces all
-    outstanding commits into each batch (cheapest catch-up)."""
+    source commit per micro-batch in steady state (exact audit trail);
+    0 coalesces all outstanding commits into each batch (cheapest
+    catch-up). The first batch of a (re)started stream is always
+    coalesced — see LakeFeedStreamReader on why a start-anchored clamp
+    would stall restarts."""
     register_lake_source(spark)
     return (
         spark.readStream.format("cdclake")

@@ -551,9 +551,6 @@ class HashBucketParquetTable:
         survive the retention window (``retain_generations`` commits);
         raises a clear error once they have been expired. Version diffing
         is then just ``snapshot_diff(read_version(a), read_version(b))``."""
-        path = os.path.join(self.path, "_history", f"manifest-{seq}.json")
-        if not self.fs.exists(path):
-            raise ValueError(f"no manifest for commit {seq}; have {self.versions()}")
         hist = self._hist_meta(seq)
         # a version captured mid-MOR folds ITS manifest's delta lists —
         # time travel and current reads share the merge path
@@ -654,10 +651,22 @@ class HashBucketParquetTable:
         ).drop("_bucket")
         cmp_from = m_from.get("compare_cols", list(self.compare_cols))
         cmp_to = m_to.get("compare_cols", list(self.compare_cols))
-        if cmp_from != cmp_to:
-            # schema evolved between the versions: re-digest BOTH sides
-            # over the newer compare set so UPDATE detection is coherent
-            # (the old side NULL-backfills evolved columns)
+        # Stored digests are only comparable when BOTH versions' digests
+        # provably cover ONE column set: the compare sets must match AND
+        # each side's digest_cols must equal its compare set. The second
+        # condition matters on its own — after evolve() (digest_cols lags
+        # compare_cols until redigest()), upserts recompute digests per
+        # TOUCHED bucket, so a single version can hold buckets digested
+        # over different column sets.
+        coherent = (
+            cmp_from == cmp_to
+            and m_from.get("digest_cols", cmp_from) == cmp_from
+            and m_to.get("digest_cols", cmp_to) == cmp_to
+        )
+        if not coherent:
+            # re-digest BOTH sides over the newer compare set so UPDATE
+            # detection is exact (the old side NULL-backfills evolved
+            # columns)
             from bcdc2bcdc_spark.evolution import reconcile_to_schema
 
             old = reconcile_to_schema(old.drop("_digest"), schema_to)
@@ -774,11 +783,6 @@ class HashBucketParquetTable:
         changes_b = changes.withColumn(
             "_bucket", _bucket_expr(self.key_cols, n_buckets)
         )
-        if self._write_mode_resolved(meta) == "mor":
-            self._upsert_mor(
-                changes_b, list(compare_cols), digest_impl, base_seq
-            )
-            return
         if touched is None:
             # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
             touched = [
@@ -786,6 +790,11 @@ class HashBucketParquetTable:
             ]
         touched = sorted(set(touched))
         if not touched:
+            return  # empty change set: no staging job, no orphan dir
+        if self._write_mode_resolved(meta) == "mor":
+            self._upsert_mor(
+                changes_b, list(compare_cols), digest_impl, base_seq
+            )
             return
         # manifest-resolved read of exactly the touched buckets' dirs —
         # MERGED (any outstanding MOR deltas fold in here and their lists
@@ -793,6 +802,11 @@ class HashBucketParquetTable:
         base = self._read_merged_raw(
             buckets=touched, meta=meta, digest_impl=digest_impl
         ).drop("_bucket")
+        # _read_merged_raw already recomputed digests over the current
+        # compare set when deltas were outstanding (its lag branch) —
+        # don't pay a second full digest pass in that case
+        had_deltas = any(str(b) in meta.get("deltas", {}) for b in touched)
+        digests_current = digests_current or had_deltas
         if not digests_current:
             # stored digests predate a compare-set change (schema evolution):
             # recompute over the touched rows — correct, costs one digest

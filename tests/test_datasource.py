@@ -126,9 +126,11 @@ def test_streaming_replication_converges(spark, mor_table, tmp_path):
 
 
 def test_stream_rate_limit_one_version_per_batch(spark, mor_table):
-    """maxversionsperbatch=1 → per-commit micro-batches: every source
-    version appears as its own _version stamp, and each batch equals that
-    version's exact read_changes — the audit-exact replay mode."""
+    """maxversionsperbatch=1 → per-commit micro-batches in steady state.
+    The FIRST batch of a (re)started stream is always coalesced — the
+    reader sees Spark's checkpointed progress only once a batch is
+    planned, and a start-anchored clamp would hand a restarted stream an
+    offset behind its checkpoint (the restart-stall bug this pins)."""
     t = mor_table
     q = (
         stream_changes(spark, t.path, max_versions_per_batch=1)
@@ -138,15 +140,77 @@ def test_stream_rate_limit_one_version_per_batch(spark, mor_table):
     )
     try:
         q.processAllAvailable()
-        got = spark.sql("select * from ds_rate")
+        # catch-up: ONE coalesced batch stamped with the head version
         versions = sorted(
-            r["_version"] for r in got.select("_version").distinct().collect()
+            r["_version"] for r in spark.sql(
+                "select distinct _version from ds_rate").collect()
         )
-        assert versions == [2, 3]  # one batch per commit after the empty init
+        assert versions == [3]
+        # steady state: each new commit arrives as its own batch
+        for i in range(2):
+            one = (
+                t.read()
+                .limit(1)
+                .withColumn("op", F.lit("UPDATE"))
+                .withColumn("content", F.lit(f"steady-{i}"))
+            )
+            t.upsert(one)
+        q.processAllAvailable()
+        got = spark.sql("select * from ds_rate")
         cols = ["repo", "path", "lang", "content", "op"]
-        for v in versions:
+        for v in (4, 5):
             batch = got.filter(F.col("_version") == v).select(*cols)
             ref = t.read_changes(v - 1, v).select(*cols)
             assert _rows(batch) == _rows(ref), v
+            assert batch.count() == 1, v
     finally:
         q.stop()
+
+
+def test_stream_feed_coherent_across_evolution(spark, tmp_path):
+    """The Python source's fold recomputes digests when a manifest's
+    digest_cols lags its compare set (post-evolve, pre-redigest) — the
+    streaming feed must match the JVM read_changes row-for-row, with no
+    spurious UPDATEs, and the snapshot reader's no-op suppression must
+    keep matching table.read()."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=120, seed=9))
+    t = HashBucketParquetTable(
+        spark, str(tmp_path / "lag"), n_buckets=4, retain_generations=16
+    )
+    t.init(base)
+    wide = (
+        t.read()
+        .limit(2)
+        .withColumn("op", F.lit("UPDATE"))
+        .withColumn("stars", F.lit(1).cast("int"))
+    )
+    t.upsert(wide)
+    one = (
+        t.read()
+        .filter(F.col("stars").isNull())
+        .limit(1)
+        .withColumn("op", F.lit("UPDATE"))
+        .withColumn("content", F.lit("really-changed"))
+    )
+    t.upsert(one)
+    assert t._meta()["digest_cols"] != t._meta()["compare_cols"]
+    q = (
+        stream_changes(spark, t.path)
+        .writeStream.format("memory")
+        .queryName("ds_lag")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from ds_lag")
+        cols = ["repo", "path", "lang", "content", "op"]
+        # coalesced catch-up batch over the lag-spanning interval 1→3:
+        # must equal the JVM feed exactly — no spurious UPDATE rows from
+        # mixed-column-set digests
+        ref = t.read_changes(1, 3).select(*cols)
+        assert _rows(got.select(*cols)) == _rows(ref)
+        assert got.filter(F.col("content") == "really-changed").count() == 1
+    finally:
+        q.stop()
+    snap = read_snapshot(spark, t.path)
+    assert _rows(snap.drop("op", "_version")) == _rows(t.read())

@@ -178,3 +178,45 @@ def test_incremental_mv_group_death_and_birth(spark, tmp_path):
     assert victim not in repos
     assert "brand-new-repo" in repos
     assert _rows(mv) == _rows(agg.full_state(t.read_version(2)))
+
+
+def test_feed_coherent_when_digest_cols_lag(spark, tmp_path):
+    """After evolve() (digest_cols lags compare_cols until redigest),
+    upserts re-digest only their touched buckets — one version holds
+    digests over two column sets. The feed must detect that incoherence
+    and recompute, reporting ONLY truly-changed rows."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=120, seed=9))
+    t = HashBucketParquetTable(
+        spark, str(tmp_path / "lag"), n_buckets=4, retain_generations=16
+    )
+    t.init(base)  # v1
+    # evolve: adds 'stars' to compare_cols; digest_cols stays (lang, content)
+    wide = (
+        t.read()
+        .limit(2)
+        .withColumn("op", F.lit("UPDATE"))
+        .withColumn("stars", F.lit(1).cast("int"))
+    )
+    t.upsert(wide)  # v2 — touched buckets now digested over the NEW set
+    one = (
+        t.read()
+        .filter(F.col("stars").isNull())
+        .limit(1)
+        .withColumn("op", F.lit("UPDATE"))
+        .withColumn("content", F.lit("really-changed"))
+    )
+    t.upsert(one)  # v3 — another bucket re-digested over the NEW set
+    assert t._meta()["digest_cols"] != t._meta()["compare_cols"]  # still lagging
+    feed = t.read_changes(2, 3)
+    # exactly ONE change happened between v2 and v3 — any extra rows are
+    # spurious UPDATEs from comparing digests across column sets
+    rows = feed.collect()
+    assert len(rows) == 1, rows
+    assert rows[0]["content"] == "really-changed"
+    # the MV invariant must survive the lag window too
+    agg = IncrementalAggregate(group_cols=("repo",))
+    mv = agg.apply_delta(
+        agg.full_state(t.read_version(2)),
+        agg.delta(t.read_changes(2, 3, include_pre=True)),
+    )
+    assert _rows(mv) == _rows(agg.full_state(t.read_version(3)))
