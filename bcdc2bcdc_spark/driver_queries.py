@@ -3670,3 +3670,55 @@ SQL_LAKE_POINT_LOOKUP = f"""
 
 QUERIES["lake_point_lookup"] = q_lake_point_lookup
 ORACLES["lake_point_lookup"] = SQL_LAKE_POINT_LOOKUP
+
+
+def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS materialized-view maintenance hard-signal row: the
+    change feed streamed with PRE-IMAGES (``includepre`` — the Delta-CDF
+    analog on the cdclake source) drives IncrementalAggregate through
+    ``foreachBatch``; after the stream drains, the view must equal the
+    SQL GROUP BY over the full replay state. MV maintenance as a
+    standing streaming query — O(changes) per micro-batch, the table is
+    never rescanned."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.operators.mv import IncrementalAggregate
+    from bcdc2bcdc_spark.sources.datasource import stream_changes
+
+    src = _feed_lake(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_smv_")
+    out = _session_tmp("stream_incremental_mv")
+    try:
+        agg = IncrementalAggregate(
+            group_cols=("repo",), measures={"total_bytes": "length(content)"}
+        )
+        holder = {"mv": agg.full_state(src.read_version(1)).cache()}
+
+        def advance(batch_df, _bid):
+            if batch_df.isEmpty():
+                return
+            new_mv = agg.apply_delta(
+                holder["mv"], agg.delta(batch_df.drop("_version"))
+            ).cache()
+            new_mv.count()
+            holder["mv"] = new_mv
+
+        q = (
+            stream_changes(spark, src.path, include_pre=True)
+            .writeStream.foreachBatch(advance)
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise AssertionError("MV feed stream did not drain within 600 s")
+        holder["mv"].write.mode("overwrite").parquet(f"{out}/result")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+QUERIES["stream_incremental_mv"] = q_stream_incremental_mv
+ORACLES["stream_incremental_mv"] = SQL_INCREMENTAL_MV

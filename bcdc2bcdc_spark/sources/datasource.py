@@ -134,7 +134,8 @@ def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str],
 
 
 def _diff_bucket(old_spec: dict, new_spec: dict, key_cols: list[str],
-                 columns: list[str], redigest_cols: list[str] | None = None):
+                 columns: list[str], redigest_cols: list[str] | None = None,
+                 include_pre: bool = False):
     """Feed rows for one bucket between two versions: outer-merge the two
     folded states on the key, classify by persisted digest (recomputed
     over ``redigest_cols`` when the versions' stored digests are not
@@ -161,6 +162,11 @@ def _diff_bucket(old_spec: dict, new_spec: dict, key_cols: list[str],
     j = j[j["op"].notna()]
     for c in payload:  # DELETE rows carry NULL payload (event shape)
         j.loc[j["op"] == OP_DELETE, c] = None
+    if include_pre:
+        for c in payload:
+            j[f"pre_{c}"] = j[f"_o_{c}"]
+            j.loc[j["op"] == "ADD", f"pre_{c}"] = None
+        return j[[*key_cols, *payload, "op", *[f"pre_{c}" for c in payload]]]
     return j[[*key_cols, *payload, "op"]]
 
 
@@ -268,7 +274,8 @@ class LakeChangeFeedDataSource(DataSource):
     def schema(self) -> T.StructType:
         meta = _manifest(self._table_path())
         payload = T.StructType.fromJson(meta["schema"])
-        return T.StructType(
+        key_cols = set(meta.get("key_cols", ["repo", "path"]))
+        fields = (
             # EVERY field nullable regardless of the table schema: DELETE
             # feed rows carry NULL payload by contract, and a non-null
             # table field would make the unsafe projection NPE on them
@@ -278,6 +285,16 @@ class LakeChangeFeedDataSource(DataSource):
                 T.StructField("_version", T.LongType(), True),
             ]
         )
+        if self.options.get("includepre", "false").lower() == "true":
+            # Delta-CDF-style pre-images: what incremental aggregate
+            # maintenance consumes (NULL on ADD rows, and on every
+            # batch-snapshot row)
+            fields += [
+                T.StructField(f"pre_{f.name}", f.dataType, True)
+                for f in payload.fields
+                if f.name not in key_cols
+            ]
+        return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> "LakeSnapshotReader":
         return LakeSnapshotReader(self._table_path(), schema)
@@ -288,6 +305,7 @@ class LakeChangeFeedDataSource(DataSource):
             schema,
             start_seq=int(self.options.get("startseq", "1")),
             max_versions_per_batch=int(self.options.get("maxversionsperbatch", "0")),
+            include_pre=self.options.get("includepre", "false").lower() == "true",
         )
 
 
@@ -323,6 +341,9 @@ class LakeSnapshotReader(DataSourceReader):
             return
         df["op"] = None
         df["_version"] = self.head
+        for f in self.out_schema.fields:  # includepre → all-NULL pre_*
+            if f.name.startswith("pre_") and f.name not in df.columns:
+                df[f.name] = None
         yield _to_record_batch(df, self.out_schema)
 
 
@@ -333,10 +354,12 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         schema: T.StructType,
         start_seq: int,
         max_versions_per_batch: int = 0,
+        include_pre: bool = False,
     ) -> None:
         self.path = path
         self.out_schema = schema
         self.start_seq = start_seq
+        self.include_pre = include_pre
         #: rate limit (maxOffsetsPerTrigger analog): cap how many source
         #: commits one micro-batch may span. 0 = unbounded (each batch
         #: coalesces everything outstanding — cheapest, but nets out
@@ -418,6 +441,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
             self.key_cols,
             spec["columns"],
             spec.get("redigest"),
+            include_pre=self.include_pre,
         )
         if df.empty:
             return
@@ -440,6 +464,7 @@ def stream_changes(
     table_path: str,
     start_seq: int = 1,
     max_versions_per_batch: int = 0,
+    include_pre: bool = False,
 ):
     """The change feed as an unbounded DataFrame (micro-batch per new
     committed version interval). ``max_versions_per_batch=1`` replays one
@@ -454,6 +479,7 @@ def stream_changes(
         .option("path", table_path)
         .option("startseq", str(start_seq))
         .option("maxversionsperbatch", str(max_versions_per_batch))
+        .option("includepre", str(include_pre).lower())
         .load()
     )
 

@@ -214,3 +214,46 @@ def test_stream_feed_coherent_across_evolution(spark, tmp_path):
         q.stop()
     snap = read_snapshot(spark, t.path)
     assert _rows(snap.drop("op", "_version")) == _rows(t.read())
+
+
+def test_stream_pre_images_feed_incremental_mv(spark, mor_table, tmp_path):
+    """includepre=true: the stream carries Delta-CDF-style pre-images, so
+    a materialized view can be maintained continuously from the feed —
+    across the catch-up batch AND a later commit's batch — and equals the
+    recompute at every step."""
+    from bcdc2bcdc_spark.operators.mv import IncrementalAggregate
+
+    t = mor_table
+    agg = IncrementalAggregate(
+        group_cols=("repo",), measures={"total_bytes": "length(content)"}
+    )
+    mv_holder = {"mv": agg.full_state(t.read_version(1)).cache()}
+
+    def advance(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        new_mv = agg.apply_delta(
+            mv_holder["mv"], agg.delta(batch_df.drop("_version"))
+        ).cache()
+        new_mv.count()
+        mv_holder["mv"] = new_mv
+
+    q = (
+        stream_changes(spark, t.path, include_pre=True)
+        .writeStream.foreachBatch(advance)
+        .option("checkpointLocation", str(tmp_path / "mv_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert _rows(mv_holder["mv"]) == _rows(agg.full_state(t.read()))
+    # a later commit flows through as its own batch and the MV tracks it
+    kill = (
+        t.read()
+        .limit(5)
+        .withColumn("op", F.lit("DELETE"))
+        .select("repo", "path", "commit", "lang", "content", "op")
+    )
+    t.upsert(kill)
+    q.processAllAvailable()
+    q.stop()
+    assert _rows(mv_holder["mv"]) == _rows(agg.full_state(t.read()))
