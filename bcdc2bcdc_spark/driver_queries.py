@@ -139,7 +139,22 @@ def _digest(col):
     return F.sha2(F.concat(F.lit("v:"), col, F.lit("\x1f"), F.lit("v:")), 256)
 
 
+def _pair_digest(a, b):
+    """Two-column change digest with per-column NULL tagging — the exact
+    Spark mirror of ``_PAIR_DIGEST_SQL`` (a concat_ws form would SKIP
+    nulls and conflate (NULL, x) with (x, NULL))."""
+    tag = lambda c: F.coalesce(F.concat(F.lit("v:"), c), F.lit("n:"))  # noqa: E731
+    return F.sha2(F.concat(tag(a), F.lit("\x1f"), tag(b)), 256)
+
+
 _DIGEST_SQL = "sha256('v:' || {c} || chr(31) || 'v:')"
+#: two-column change digest with the engine's per-column NULL tagging
+#: (functions/digest.py _NULL_TAG): '… || col' would NULL-propagate and
+#: make the whole digest NULL, silently dropping a changed row whose
+#: lang/content is NULL from the oracle while the engine emits UPDATE.
+_PAIR_DIGEST_SQL = (
+    "sha256(COALESCE('v:' || {a}, 'n:') || chr(31) || COALESCE('v:' || {b}, 'n:'))"
+)
 HALF_SQL = "(SELECT CAST(FLOOR(MAX(l_orderkey * 10 + l_linenumber) / 2.0) AS BIGINT) FROM lineitem)"
 
 
@@ -176,9 +191,9 @@ def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = _half_seq_dir(spark, sf_dir)
     src = cdc_state(ev, None).alias("s")
     dest = cdc_state(ev, half).select(
-        "repo", "path", _digest(F.concat_ws("\x1f", "lang", "content")).alias("_dd")
+        "repo", "path", _pair_digest(F.col("lang"), F.col("content")).alias("_dd")
     ).alias("d")
-    src_d = src.withColumn("_sd", _digest(F.concat_ws("\x1f", "lang", "content")))
+    src_d = src.withColumn("_sd", _pair_digest(F.col("lang"), F.col("content")))
     j = src_d.join(dest, ["repo", "path"], "full_outer")
     op = (
         F.when(F.col("_dd").isNull(), "ADD")
@@ -200,8 +215,8 @@ SQL_CDC_DELTA = f"""
                   COALESCE(s.path, d.path) AS path,
                   CASE WHEN d.repo IS NULL THEN 'ADD'
                        WHEN s.repo IS NULL THEN 'DELETE'
-                       WHEN {_DIGEST_SQL.format(c="s.lang || chr(31) || s.content")}
-                         <> {_DIGEST_SQL.format(c="d.lang || chr(31) || d.content")}
+                       WHEN {_PAIR_DIGEST_SQL.format(a="s.lang", b="s.content")}
+                         <> {_PAIR_DIGEST_SQL.format(a="d.lang", b="d.content")}
                        THEN 'UPDATE' END AS op
            FROM src s FULL OUTER JOIN dest d
              ON s.repo = d.repo AND s.path = d.path
@@ -3499,8 +3514,8 @@ SQL_CHANGE_FEED = f"""
                   s.commit_id, s.lang, s.content,
                   CASE WHEN d.repo IS NULL THEN 'ADD'
                        WHEN s.repo IS NULL THEN 'DELETE'
-                       WHEN {_DIGEST_SQL.format(c="s.lang || chr(31) || s.content")}
-                         <> {_DIGEST_SQL.format(c="d.lang || chr(31) || d.content")}
+                       WHEN {_PAIR_DIGEST_SQL.format(a="s.lang", b="s.content")}
+                         <> {_PAIR_DIGEST_SQL.format(a="d.lang", b="d.content")}
                        THEN 'UPDATE' END AS op
            FROM src s FULL OUTER JOIN dest d
              ON s.repo = d.repo AND s.path = d.path

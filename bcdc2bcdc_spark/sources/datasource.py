@@ -57,13 +57,26 @@ def _read_dir(path: str, columns: list[str]):
     exactly ``columns`` (missing columns NULL-backfilled — schema
     evolution reads old files under the new schema, like the JVM path)."""
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # nullable pandas dtypes for ints/bools: a NULL in any file must NOT
+    # float-promote the column (str(42.0) != the JVM digest's '42' —
+    # functions/digest.py pd_row_digest is dtype-aware and relies on this)
+    _nullable = {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+        pa.bool_(): pd.BooleanDtype(),
+    }
 
     frames = []
     if os.path.isdir(path):
         for f in sorted(os.listdir(path)):
             if f.endswith(".parquet"):
-                frames.append(pq.read_table(os.path.join(path, f)).to_pandas())
+                tbl = pq.read_table(os.path.join(path, f))
+                frames.append(tbl.to_pandas(types_mapper=_nullable.get))
     if not frames:
         return pd.DataFrame({c: pd.Series(dtype="object") for c in columns})
     df = pd.concat(frames, ignore_index=True)
@@ -271,8 +284,17 @@ class LakeChangeFeedDataSource(DataSource):
             raise ValueError("cdclake requires .option('path', <table dir>)")
         return p
 
+    def _frozen_meta(self) -> dict:
+        """The manifest read ONCE per scan and shared by ``schema()`` and
+        ``reader()`` — a commit (e.g. evolve) landing between two
+        independent reads would give the reader a column list that
+        disagrees with the declared schema."""
+        if not hasattr(self, "_meta_cache"):
+            self._meta_cache = _manifest(self._table_path())
+        return self._meta_cache
+
     def schema(self) -> T.StructType:
-        meta = _manifest(self._table_path())
+        meta = self._frozen_meta()
         payload = T.StructType.fromJson(meta["schema"])
         key_cols = set(meta.get("key_cols", ["repo", "path"]))
         fields = (
@@ -297,7 +319,7 @@ class LakeChangeFeedDataSource(DataSource):
         return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> "LakeSnapshotReader":
-        return LakeSnapshotReader(self._table_path(), schema)
+        return LakeSnapshotReader(self._table_path(), schema, self._frozen_meta())
 
     def streamReader(self, schema: T.StructType) -> "LakeFeedStreamReader":
         return LakeFeedStreamReader(
@@ -310,10 +332,13 @@ class LakeChangeFeedDataSource(DataSource):
 
 
 class LakeSnapshotReader(DataSourceReader):
-    def __init__(self, path: str, schema: T.StructType) -> None:
+    def __init__(
+        self, path: str, schema: T.StructType, meta: dict | None = None
+    ) -> None:
         self.path = path
         self.out_schema = schema
-        meta = _manifest(path)
+        if meta is None:  # standalone use; DataSource passes its frozen copy
+            meta = _manifest(path)
         self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
         self.columns = [f.name for f in T.StructType.fromJson(meta["schema"]).fields]
         self.head = int(meta.get("commit_seq", 0))

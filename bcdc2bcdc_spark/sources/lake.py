@@ -268,22 +268,28 @@ class HashBucketParquetTable:
         return meta.get("write_mode", self.write_mode)
 
     def set_write_mode(self, mode: str) -> None:
-        """Flip the persisted write mode (metadata-only, like ``evolve``).
+        """Flip the persisted write mode — a REAL commit (seq bump +
+        frozen history manifest), not a bare meta mutation: a concurrent
+        upsert that read the pre-flip manifest now fails its optimistic
+        ``commit_seq`` check instead of silently reverting the flip, and
+        the flip itself re-reads meta at the last moment so it cannot
+        overwrite a commit that landed while it deliberated. The commit
+        is data-empty: ``read_changes`` across it yields no rows.
         Existing deltas stay readable either way: a ``cow`` upsert on a
         bucket with outstanding deltas folds them in and clears the list."""
         self._check_writable()
         mode = self._validated_mode(mode)
-        meta = self._meta()
-        base_seq = int(meta.get("commit_seq", 0))
-        if meta.get("write_mode", "cow") == mode:
-            return
-        meta["write_mode"] = mode
-        if int(self._meta().get("commit_seq", 0)) != base_seq:
+        base_seq = int(self._meta().get("commit_seq", 0))
+        meta = self._meta()  # freshest copy is the one we mutate + write
+        if int(meta.get("commit_seq", 0)) != base_seq:
             raise ConcurrentWriteError(
                 "a commit landed during set_write_mode — re-run against the "
                 "new table state"
             )
-        self._write_meta(meta)
+        if meta.get("write_mode", "cow") == mode:
+            return
+        meta["write_mode"] = mode
+        self._finalize_commit(meta, base_seq + 1, self._referenced_gens(meta))
 
     def _meta(self) -> dict:
         return self.fs.read_json(self.meta_path)

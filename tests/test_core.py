@@ -221,3 +221,64 @@ def test_diff_report_field_level(spark):
     r = rep.first()
     assert r["src_value"] != r["dest_value"]
     rep.unpersist()
+
+
+def test_java_hex_double_matches_spark_format(spark):
+    """_java_hex_double must equal Spark's format_string('%a', col) —
+    the float/double rendering inside with_row_digest — across random
+    bit patterns, subnormals, and both widths (floats widen)."""
+    import random
+    import struct
+
+    from bcdc2bcdc_spark.functions.digest import _java_hex_double
+
+    rng = random.Random(13)
+    dvals = [0.0, -0.0, 1.0, -2.5, 0.1, 5e-324, 1.5e-323, 4.9e-308,
+             float("nan"), float("inf"), float("-inf"), 42.0, 1e300]
+    for _ in range(300):
+        v = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))[0]
+        if v == v and abs(v) != float("inf"):
+            dvals.append(v)
+    df = spark.createDataFrame([(v,) for v in dvals], "v double")
+    got = [r[0] for r in df.select(F.format_string("%a", "v")).collect()]
+    assert got == [_java_hex_double(v) for v in dvals]
+    # float32: %a widens to double; numpy float32 → Python float is exact
+    import numpy as np
+
+    fvals = [float(np.float32(struct.unpack("<f", struct.pack("<I", rng.getrandbits(32)))[0]))
+             for _ in range(200)]
+    fvals = [v for v in fvals if v == v and abs(v) != float("inf")]
+    df2 = spark.createDataFrame([(v,) for v in fvals], "v float")
+    got2 = [r[0] for r in df2.select(F.format_string("%a", "v")).collect()]
+    assert got2 == [_java_hex_double(v) for v in fvals]
+
+
+def test_pd_row_digest_nullable_int_matches_jvm(spark, tmp_path):
+    """ADVICE repro: an int compare column mixing NULL and non-NULL in ONE
+    parquet file must digest identically in the pandas fold and the JVM —
+    pandas float-promotion would render '42.0' vs the JVM's '42'."""
+    from bcdc2bcdc_spark.functions.digest import pd_row_digest
+    from bcdc2bcdc_spark.sources.datasource import _read_dir
+
+    rows = [
+        ("a", "x", 42, 2.5, True),
+        ("b", "y", None, None, None),
+        ("c", "z", 7, 1e-7, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, content string, stars int, score double, ok boolean"
+    )
+    cols = ["content", "stars", "score", "ok"]
+    want = {
+        r["repo"]: r["d"]
+        for r in with_row_digest(df, cols, "d", impl="jvm").collect()
+    }
+    # through the executor-side parquet read path (one file, NULLs present)
+    df.coalesce(1).write.parquet(str(tmp_path / "p"))
+    pdf = _read_dir(str(tmp_path / "p"), ["repo", *cols])
+    got = dict(zip(pdf["repo"], pd_row_digest(pdf, cols)))
+    assert got == want
+    # and through the Arrow-UDF impl (Spark-side pandas boundary)
+    a = with_row_digest(df, cols, "d", impl="arrow")
+    got_arrow = {r["repo"]: r["d"] for r in a.collect()}
+    assert got_arrow == want
