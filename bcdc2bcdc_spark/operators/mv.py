@@ -21,14 +21,30 @@ are deliberately not offered here.
 Measures are SQL expressions over the payload columns (evaluated against
 the post-image for additions and against the pre-image for retractions),
 so the whole path is Catalyst expressions — no UDFs, no Python rows.
+
+Standing-stream hygiene: ``apply_delta`` returns a NEW DataFrame whose
+lineage includes the previous view. A long-lived driver loop (e.g. a
+foreachBatch maintaining one view across micro-batches) must (a) cache
+the new view and materialize it BEFORE dropping the old one, (b)
+``unpersist()`` the superseded handle — otherwise storage memory grows
+linearly in batch count — and (c) cut the lineage chain every N batches
+(``localCheckpoint(eager=True)``), or a cache eviction recomputes the
+view through every delta since the stream started. See
+``q_stream_incremental_mv`` in ``driver_queries.py`` for the pattern.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
+
+#: aggregate heads that are NOT abelian-group measures: a deleted
+#: extremum cannot be reversed by subtraction, so a view over them would
+#: silently drift from the recompute after the first retraction
+_NON_ABELIAN = re.compile(r"\b(min|max|first|last|any_value)\s*\(", re.IGNORECASE)
 
 from bcdc2bcdc_spark.schema import OP_ADD, OP_DELETE
 
@@ -52,6 +68,19 @@ class IncrementalAggregate:
     measures: Mapping[str, str] = field(
         default_factory=lambda: {"total_bytes": "length(content)"}
     )
+
+    def __post_init__(self) -> None:
+        for name, expr in self.measures.items():
+            hit = _NON_ABELIAN.search(expr)
+            if hit:
+                raise ValueError(
+                    f"measure {name!r} uses {hit.group(1)}(), which is not "
+                    "an abelian-group aggregate: retractions (DELETE/UPDATE "
+                    "pre-images) cannot reverse it by subtraction, so the "
+                    "incremental view would diverge from a recompute. Use "
+                    "SUM/COUNT-shaped expressions, or recompute via "
+                    "full_state()."
+                )
 
     @property
     def _names(self) -> list[str]:
@@ -99,7 +128,7 @@ class IncrementalAggregate:
         pre = pre_view.filter(F.col("op") != OP_ADD).select(
             *self.group_cols,
             F.lit(-1).alias(_N_ROWS),
-            *[(-c).alias(n) for n, c in self._contrib().items()],
+            *[(-c).alias(n) for n, c in contrib.items()],
         )
         return (
             post.unionByName(pre)

@@ -126,24 +126,36 @@ def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str],
         from bcdc2bcdc_spark.functions.digest import pd_row_digest
 
         df["_digest"] = pd_row_digest(df, redigest_cols)
-    df = df.sort_values([*key_cols, "_seq"], kind="mergesort")
-    state: dict[tuple, tuple] = {}
-    key_ix = [df.columns.get_loc(c) for c in key_cols]
-    dig_ix = df.columns.get_loc("_digest")
-    op_ix = df.columns.get_loc("op")
-    for row in df.itertuples(index=False, name=None):
-        k = tuple(row[i] for i in key_ix)
-        if row[op_ix] == OP_DELETE:
-            state.pop(k, None)
-            continue
-        cur = state.get(k)
-        if cur is not None and cur[dig_ix] == row[dig_ix]:
-            continue  # no-op upsert: keep prior row (commit preserved)
-        state[k] = row
+    import numpy as np
     import pandas as pd
 
-    out = pd.DataFrame(list(state.values()), columns=list(df.columns))
-    return out.drop(columns=["op", "_seq"])
+    df = df.sort_values([*key_cols, "_seq"], kind="mergesort").reset_index(drop=True)
+    # Vectorized fold (no per-row Python): walking versions in seq order,
+    # the state's digest always equals the last non-delete row's digest
+    # (a no-op keeps a state whose digest already matches), so the
+    # survivor is exactly the FIRST row of the LAST run of consecutive
+    # equal digests AFTER the key's last DELETE — and keeping the run's
+    # first row is what preserves `commit` across no-op upserts.
+    n = len(df)
+    pos = np.arange(n)
+    key_id = df.groupby(key_cols, sort=False, dropna=False).ngroup().to_numpy()
+    isdel = df["op"].to_numpy(dtype=object) == OP_DELETE
+    last_del = (
+        pd.Series(np.where(isdel, pos, -1))
+        .groupby(key_id)
+        .transform("max")
+        .to_numpy()
+    )
+    in_suffix = ~isdel & (pos > last_del)  # contiguous tail: no DELETE after
+    dig = df["_digest"].to_numpy(dtype=object)
+    prev_ok = np.zeros(n, dtype=bool)
+    prev_ok[1:] = in_suffix[1:] & in_suffix[:-1] & (key_id[1:] == key_id[:-1])
+    continues = np.zeros(n, dtype=bool)
+    continues[1:] = prev_ok[1:] & (dig[1:] == dig[:-1])
+    starts = in_suffix & ~continues
+    winners = pd.Series(np.where(starts, pos, -1)).groupby(key_id).max()
+    out = df.iloc[winners[winners >= 0].to_numpy()]
+    return out.drop(columns=["op", "_seq"]).reset_index(drop=True)
 
 
 def _diff_bucket(old_spec: dict, new_spec: dict, key_cols: list[str],
@@ -161,17 +173,21 @@ def _diff_bucket(old_spec: dict, new_spec: dict, key_cols: list[str],
     old = old.rename(columns={c: f"_o_{c}" for c in [*payload, "_digest"]})
     new = new.rename(columns={"_digest": "_n_digest"})
     j = new.merge(old, on=key_cols, how="outer", indicator=True)
-    ops = []
-    for m, nd, od in zip(j["_merge"], j["_n_digest"], j["_o__digest"]):
-        if m == "left_only":
-            ops.append("ADD")
-        elif m == "right_only":
-            ops.append(OP_DELETE)
-        elif nd != od:
-            ops.append("UPDATE")
-        else:
-            ops.append(None)
-    j["op"] = pd.Series(ops, index=j.index, dtype="object")
+    import numpy as np
+
+    m = j["_merge"].to_numpy(dtype=object)
+    changed = j["_n_digest"].to_numpy(dtype=object) != j["_o__digest"].to_numpy(
+        dtype=object
+    )
+    j["op"] = pd.Series(
+        np.select(
+            [m == "left_only", m == "right_only", changed],
+            ["ADD", OP_DELETE, "UPDATE"],
+            default=None,
+        ),
+        index=j.index,
+        dtype="object",
+    )
     j = j[j["op"].notna()]
     for c in payload:  # DELETE rows carry NULL payload (event shape)
         j.loc[j["op"] == OP_DELETE, c] = None

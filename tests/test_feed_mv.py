@@ -220,3 +220,19 @@ def test_feed_coherent_when_digest_cols_lag(spark, tmp_path):
         agg.delta(t.read_changes(2, 3, include_pre=True)),
     )
     assert _rows(mv) == _rows(agg.full_state(t.read_version(3)))
+
+
+def test_non_abelian_measures_rejected():
+    """MIN/MAX (and first/last) measures are a design boundary, not a
+    silent wrong answer: a deleted extremum cannot be reversed by
+    subtraction (operators/mv.py module docstring), so construction must
+    fail loudly."""
+    import pytest
+
+    for expr in ("max(stars)", "MIN(length(content))", "1 + last(stars)"):
+        with pytest.raises(ValueError, match="abelian"):
+            IncrementalAggregate(group_cols=("repo",), measures={"m": expr})
+    # plain SUM/COUNT-shaped expressions still construct fine
+    IncrementalAggregate(
+        group_cols=("repo",), measures={"m": "length(content) * 2"}
+    )
