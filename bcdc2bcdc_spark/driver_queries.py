@@ -3895,3 +3895,155 @@ def _reorder(d: dict) -> dict:
 
 QUERIES = _reorder(QUERIES)
 ORACLES = _reorder(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# multi-table feed replication e2e (registered beyond the scored window;
+# parity-checked by tools/parity_check.py like the other e2e rows)
+# ---------------------------------------------------------------------------
+
+def q_multi_replication_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE replication hard-signal row (plans/replicate.py
+    MultiTableReplicator — the reference's whole-program shape: entity
+    types synced source->dest in FK dependency order with child foreign
+    keys rewritten through the cross-instance cache,
+    /root/reference/bin/runBCDC2BCDC.py:286-289 + DataCache.py:384-437):
+    a parent lake (orgs from `nation`) and a child lake (pkgs from
+    `supplier`, whose `content` holds an org id remapped to the org NAME
+    through the DESTINATION parent) advance over TWO incremental passes —
+    pass 1 sees only nations < 13, pass 2 adds the rest plus child
+    adds/updates/deletes. The remap is apply-time (like the reference):
+    a pass-1 child referencing a not-yet-existing org stays untranslated
+    FOREVER unless a later feed row rewrites it — the oracle encodes that
+    time dependence exactly. Output: both destination tables' final
+    payload states."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.plans.multi import FKRemap
+    from bcdc2bcdc_spark.plans.replicate import (
+        MultiTableReplicator,
+        ReplicatedEntity,
+    )
+    from bcdc2bcdc_spark.schema import REPOS_SCHEMA
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    nation = load(spark, sf_dir, "nation")
+    sup = load(spark, sf_dir, "supplier")
+    orgs = nation.select(
+        F.lit("org-repo").alias("repo"),
+        F.concat(F.lit("org"), F.col("n_nationkey").cast("string")).alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("org").alias("lang"),
+        F.col("n_name").alias("content"),
+        F.lit("ADD").alias("op"),
+    )
+    pkg_base = sup.select(
+        F.lit("pkg-repo").alias("repo"),
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("path"),
+        F.lit("c1").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("org"), F.col("s_nationkey").cast("string")).alias("content"),
+        F.col("s_suppkey").alias("_sk"),
+        F.col("s_nationkey").alias("_nk"),
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_mrepl_")
+    out = _session_tmp("multi_replication_e2e")
+    try:
+        lakes = {}
+        for name in ("src_orgs", "src_pkgs", "dst_orgs", "dst_pkgs"):
+            t = HashBucketParquetTable(
+                spark, f"{work}/{name}", n_buckets=8, retain_generations=16
+            )
+            t.init(spark.createDataFrame([], REPOS_SCHEMA))
+            lakes[name] = t
+        rep = MultiTableReplicator(
+            entities=[
+                ReplicatedEntity(
+                    name="pkgs", src=lakes["src_pkgs"], dst=lakes["dst_pkgs"],
+                    fk_remaps=(FKRemap(column="content", parent="orgs",
+                                       map_from="path", map_to="content"),),
+                ),
+                ReplicatedEntity(
+                    name="orgs", src=lakes["src_orgs"], dst=lakes["dst_orgs"]
+                ),
+            ],
+            checkpoint_root=f"{work}/ckpt",
+        )
+        # pass 1: half the parents; even-keyed children (those referencing
+        # a nation >= 13 stay dangling at apply time)
+        lakes["src_orgs"].upsert(orgs.filter(F.col("path").substr(4, 10).cast("int") < 13))
+        lakes["src_pkgs"].upsert(
+            pkg_base.filter((F.col("_sk") % 2 == 0)).drop("_sk", "_nk")
+            .withColumn("op", F.lit("ADD"))
+        )
+        rep.sync_all(digest_impl="arrow")
+        # pass 2: remaining parents; child adds (odd keys), updates
+        # (sk%6==0 and not deleted -> re-pointed to (nk+7)%25), deletes
+        # (sk%10==0)
+        lakes["src_orgs"].upsert(orgs.filter(F.col("path").substr(4, 10).cast("int") >= 13))
+        adds = (
+            pkg_base.filter(F.col("_sk") % 2 == 1)
+            .drop("_sk", "_nk").withColumn("op", F.lit("ADD"))
+        )
+        updates = (
+            pkg_base.filter((F.col("_sk") % 6 == 0) & (F.col("_sk") % 10 != 0))
+            .withColumn(
+                "content",
+                F.concat(F.lit("org"), ((F.col("_nk") + 7) % 25).cast("string")),
+            )
+            .drop("_sk", "_nk").withColumn("op", F.lit("UPDATE"))
+        )
+        deletes = (
+            pkg_base.filter(F.col("_sk") % 10 == 0)
+            .withColumn("content", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit(None).cast("string"))
+            .drop("_sk", "_nk").withColumn("op", F.lit("DELETE"))
+        )
+        lakes["src_pkgs"].upsert(adds.unionByName(updates).unionByName(deletes))
+        rep.sync_all(digest_impl="arrow")
+        result = (
+            lakes["dst_pkgs"].read()
+            .unionByName(lakes["dst_orgs"].read())
+            .select("repo", "path", "lang", "content")
+        )
+        result.write.mode("overwrite").parquet(f"{out}/result")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+SQL_MULTI_REPLICATION_E2E = """
+    WITH evens AS (
+      SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier
+      WHERE s_suppkey % 2 = 0 AND s_suppkey % 10 <> 0
+    ),
+    pkgs AS (
+      -- surviving even-keyed children: updated ones re-remapped at pass 2,
+      -- pass-1-dangling ones (nk >= 13) frozen untranslated, the rest
+      -- remapped at pass 1
+      SELECT e.sk,
+             CASE WHEN e.sk % 6 = 0 THEN nu.n_name
+                  WHEN e.nk < 13 THEN n1.n_name
+                  ELSE 'org' || CAST(e.nk AS VARCHAR) END AS content
+      FROM evens e
+      LEFT JOIN nation n1 ON n1.n_nationkey = e.nk
+      LEFT JOIN nation nu ON nu.n_nationkey = (e.nk + 7) % 25
+      UNION ALL
+      -- odd-keyed children arrive at pass 2 when every org exists
+      SELECT s.s_suppkey, n.n_name
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE s.s_suppkey % 2 = 1
+    )
+    SELECT 'pkg-repo' AS repo, 's' || CAST(sk AS VARCHAR) AS path,
+           'py' AS lang, content
+    FROM pkgs
+    UNION ALL
+    SELECT 'org-repo' AS repo, 'org' || CAST(n_nationkey AS VARCHAR) AS path,
+           'org' AS lang, n_name AS content
+    FROM nation
+"""
+
+QUERIES["multi_replication_e2e"] = q_multi_replication_e2e
+ORACLES["multi_replication_e2e"] = SQL_MULTI_REPLICATION_E2E

@@ -55,6 +55,58 @@ class FKRemap:
     map_to: str
 
 
+def dependency_order(named: Sequence, deps_of) -> list:
+    """Kahn topological sort over parent→child edges (deterministic:
+    declaration order breaks ties, like the reference's fixed user→group→
+    org→package order). ``deps_of(item)`` yields parent names."""
+    deps = {e.name: {p for p in deps_of(e) if p != e.name} for e in named}
+    order: list = []
+    placed: set[str] = set()
+    pending = list(named)
+    while pending:
+        ready = [e for e in pending if deps[e.name] <= placed]
+        if not ready:
+            cyc = ", ".join(e.name for e in pending)
+            raise DependencyCycleError(f"FK dependency cycle among: {cyc}")
+        for e in ready:
+            order.append(e)
+            placed.add(e.name)
+        pending = [e for e in pending if e.name not in placed]
+    return order
+
+
+def apply_fk_remaps(events: DataFrame, remaps: Sequence[FKRemap], read_parent) -> DataFrame:
+    """Rewrite each FK column through its parent's current state with ONE
+    broadcast join per remap (the collapsed form of the reference's
+    two-hop id→name→id lookup, DataCache.py:384-437). ``read_parent(name)``
+    returns the parent DataFrame. The parent is unique on its BUSINESS
+    key, not necessarily on map_from: duplicate map_from values collapse
+    to the MIN map_to so the join can never fan a child event into
+    duplicate rows (which lww_dedup would then tie-break arbitrarily).
+    Unresolvable values pass through unchanged (visible downstream rather
+    than silently dropped — the reference demand-loads and warns)."""
+    for rm in remaps:
+        mapping = (
+            read_parent(rm.parent)
+            .select(
+                F.col(rm.map_from).alias("_fk_from"),
+                F.col(rm.map_to).alias("_fk_to"),
+            )
+            .groupBy("_fk_from")
+            .agg(F.min("_fk_to").alias("_fk_to"))
+        )
+        events = (
+            events.join(
+                F.broadcast(mapping),
+                events[rm.column] == F.col("_fk_from"),
+                "left",
+            )
+            .withColumn(rm.column, F.coalesce(F.col("_fk_to"), F.col(rm.column)))
+            .drop("_fk_from", "_fk_to")
+        )
+    return events
+
+
 @dataclass
 class Entity:
     """One synchronized table: a name, its CDCPipeline, and the FK remaps
@@ -80,22 +132,9 @@ class MultiTablePipeline:
                     raise ValueError(
                         f"entity {e.name!r} remaps through unknown parent {rm.parent!r}"
                     )
-        # Kahn topological sort over parent→child edges (deterministic:
-        # declaration order breaks ties, like the reference's fixed order).
-        deps = {e.name: {rm.parent for rm in e.fk_remaps if rm.parent != e.name} for e in self.entities}
-        order: list[Entity] = []
-        placed: set[str] = set()
-        pending = list(self.entities)
-        while pending:
-            ready = [e for e in pending if deps[e.name] <= placed]
-            if not ready:
-                cyc = ", ".join(e.name for e in pending)
-                raise DependencyCycleError(f"FK dependency cycle among: {cyc}")
-            for e in ready:
-                order.append(e)
-                placed.add(e.name)
-            pending = [e for e in pending if e.name not in placed]
-        self._order = order
+        self._order = dependency_order(
+            self.entities, lambda e: (rm.parent for rm in e.fk_remaps)
+        )
 
     @property
     def apply_order(self) -> list[str]:
@@ -103,31 +142,11 @@ class MultiTablePipeline:
 
     def _remap(self, entity: Entity, events: DataFrame) -> DataFrame:
         by_name = {e.name: e for e in self.entities}
-        for rm in entity.fk_remaps:
-            parent_table = by_name[rm.parent].pipeline.table
-            # The parent table is unique on its BUSINESS key, not necessarily
-            # on map_from: collapse duplicate map_from values to the MIN
-            # map_to so the join can never fan a child event into duplicate
-            # rows (which lww_dedup would then tie-break arbitrarily).
-            mapping = (
-                parent_table.read()
-                .select(
-                    F.col(rm.map_from).alias("_fk_from"),
-                    F.col(rm.map_to).alias("_fk_to"),
-                )
-                .groupBy("_fk_from")
-                .agg(F.min("_fk_to").alias("_fk_to"))
-            )
-            events = (
-                events.join(
-                    F.broadcast(mapping),
-                    events[rm.column] == F.col("_fk_from"),
-                    "left",
-                )
-                .withColumn(rm.column, F.coalesce(F.col("_fk_to"), F.col(rm.column)))
-                .drop("_fk_from", "_fk_to")
-            )
-        return events
+        return apply_fk_remaps(
+            events,
+            entity.fk_remaps,
+            lambda name: by_name[name].pipeline.table.read(),
+        )
 
     def run(
         self, events_by_entity: dict[str, DataFrame], epoch_col: str = "epoch"
