@@ -3687,6 +3687,210 @@ QUERIES["lake_point_lookup"] = q_lake_point_lookup
 ORACLES["lake_point_lookup"] = SQL_LAKE_POINT_LOOKUP
 
 
+def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary (alternate-key) index hard-signal row (sources/index.py):
+    the reference resolves records by alternate keys through an in-memory
+    ``uniqueidRecordLookup`` dict rebuilt from full dumps
+    (CKANData.py:1264-1285); here the alt-key → primary-key mapping is
+    itself a lake table bucketed by the alt key, BUILT from a pinned
+    epoch-0 version and then advanced to head ONLY by the change feed
+    (O(changes) maintenance — adds, alt-value moves, deletes). The probe
+    reads alt-hashed index buckets → primary keys → base.lookup (both
+    hops pruned); the result must equal the SQL replay state filtered by
+    the same alt predicate."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.sources.index import SecondaryIndex
+
+    t = _feed_lake(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_idx_")
+    out = _session_tmp("secondary_index_lookup")
+    try:
+        idx = SecondaryIndex(
+            t, f"{work}/idx", index_cols=("content",), n_buckets=8
+        )
+        built = idx.build(as_of=2)  # pinned epoch-0 version
+        stats = idx.refresh(digest_impl="arrow")  # feed-advance 2 → head
+        if built != 2 or stats["to_seq"] != t.commit_seq():
+            raise AssertionError(f"index did not advance: {built} {stats}")
+        probe = spark.createDataFrame(
+            [("c7",), ("c42",), ("c777",), ("c999",), ("no-such",)],
+            "content string",
+        )
+        (
+            idx.lookup(probe)
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+SQL_SECONDARY_INDEX_LOOKUP = f"""
+    SELECT repo, path, lang, content
+    FROM ({SNAP_SQL.format(ev=EV_SQL, where="")})
+    WHERE content IN ('c7', 'c42', 'c777', 'c999', 'no-such')
+"""
+
+QUERIES["secondary_index_lookup"] = q_secondary_index_lookup
+ORACLES["secondary_index_lookup"] = SQL_SECONDARY_INDEX_LOOKUP
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history hard-signal row (operators/scd2.py): the reference
+    overwrites updated/deleted records in place and the prior state is
+    gone (CKANUpdate.py update/delete branches); here every committed
+    version of every key survives with its validity interval
+    [valid_from_seq, valid_to_seq). The history is SEEDED from the pinned
+    epoch-0 lake version and advanced to head ONLY by the change feed —
+    closes and opens are O(changes), co-located per key chain via
+    bucket_cols — and must equal the SQL derivation from the two
+    independent replay states (epoch-0 rows closed at 3 exactly when the
+    full replay deleted or changed them; added/changed keys open at 3)."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.operators.scd2 import SCD2History
+
+    t = _feed_lake(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_scd2_")
+    out = _session_tmp("scd2_history")
+    try:
+        h = SCD2History(t, f"{work}/hist", n_buckets=8)
+        built = h.build(as_of=2)
+        stats = h.advance(digest_impl="arrow")
+        if built != 2 or stats["to_seq"] != t.commit_seq():
+            raise AssertionError(f"history did not advance: {built} {stats}")
+        (
+            h.history()
+            .select(
+                "repo",
+                "path",
+                F.col("commit").alias("commit_id"),
+                "lang",
+                "content",
+                "valid_from_seq",
+                "valid_to_seq",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+#: the oracle derives the same intervals from the two replay states: an
+#: epoch-0 row's version closes at 3 iff the full replay deleted it or
+#: changed its compare payload (lang, content — same digest tagging as
+#: the feed oracle); the head replay contributes an open version for
+#: every added-or-changed key. Unchanged keys keep their epoch-0 row
+#: (and its epoch-0 commit_id) open — commit is NOT in the compare set.
+SQL_SCD2_HISTORY = f"""
+    WITH src AS ({SNAP_SQL.format(ev=EV_SQL, where="")}),
+         dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")}),
+         j AS (
+           SELECT s.repo AS s_repo, s.path AS s_path, s.commit_id AS s_commit,
+                  s.lang AS s_lang, s.content AS s_content,
+                  d.repo AS d_repo, d.path AS d_path, d.commit_id AS d_commit,
+                  d.lang AS d_lang, d.content AS d_content,
+                  CASE WHEN d.repo IS NULL THEN 'ADD'
+                       WHEN s.repo IS NULL THEN 'DELETE'
+                       WHEN {_PAIR_DIGEST_SQL.format(a="s.lang", b="s.content")}
+                         <> {_PAIR_DIGEST_SQL.format(a="d.lang", b="d.content")}
+                       THEN 'UPDATE' END AS op
+           FROM src s FULL OUTER JOIN dest d
+             ON s.repo = d.repo AND s.path = d.path
+         )
+    SELECT d_repo AS repo, d_path AS path, d_commit AS commit_id,
+           d_lang AS lang, d_content AS content,
+           CAST(2 AS BIGINT) AS valid_from_seq,
+           CAST(CASE WHEN op IN ('UPDATE', 'DELETE') THEN 3 END AS BIGINT)
+             AS valid_to_seq
+    FROM j WHERE d_repo IS NOT NULL
+    UNION ALL
+    SELECT s_repo, s_path, s_commit, s_lang, s_content,
+           CAST(3 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM j WHERE op IN ('ADD', 'UPDATE')
+"""
+
+QUERIES["scd2_history"] = q_scd2_history
+ORACLES["scd2_history"] = SQL_SCD2_HISTORY
+
+
+def q_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE–AUDIT–PUBLISH hard-signal row (sources/lake.py stage_upsert /
+    StagedUpsert — the Iceberg WAP pattern): a POISONED batch is staged,
+    the audit reads the would-be state from the candidate manifest,
+    catches the violation and ABANDONs (the table provably never moves);
+    the clean batch then stages, audits green, and ``publish()`` commits
+    with one atomic metadata swap. Final state must equal the independent
+    SQL replay — the abandoned staging must have left zero trace. The
+    reference posts updates straight to the destination API with no audit
+    gate (CKANUpdate.py update branches)."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.operators.diff import snapshot_diff
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq_dir(spark, sf_dir)
+    src = cdc_state(ev, None).withColumnRenamed("commit_id", "commit")
+    dest = cdc_state(ev, half).withColumnRenamed("commit_id", "commit")
+    work = tempfile.mkdtemp(prefix="cdc_wap_")
+    out = _session_tmp("wap_audit_publish")
+    try:
+        t = HashBucketParquetTable(spark, f"{work}/lake", n_buckets=16)
+        t.init(dest)
+        seq0 = t.commit_seq()
+        delta = snapshot_diff(src, dest, canonicalize=False, digest_impl="jvm")
+        bad = delta.withColumn(
+            "content",
+            F.when(
+                F.col("op") != "DELETE",
+                F.concat(F.lit("POISON:"), F.coalesce(F.col("content"), F.lit(""))),
+            ).otherwise(F.col("content")),
+        )
+        staged = t.stage_upsert(bad, digest_impl="arrow")
+        if (
+            staged.read(buckets=staged.touched)
+            .where(F.col("content").startswith("POISON:"))
+            .count()
+            == 0
+        ):
+            raise AssertionError("audit failed to see the staged poison rows")
+        staged.abandon()
+        if t.commit_seq() != seq0:
+            raise AssertionError("abandon mutated the table")
+        good = t.stage_upsert(delta, digest_impl="arrow")
+        if (
+            good.read(buckets=good.touched)
+            .where(F.col("content").startswith("POISON:"))
+            .count()
+        ):
+            raise AssertionError("clean batch failed its audit")
+        good.publish()
+        (
+            t.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+QUERIES["wap_audit_publish"] = q_wap_audit_publish
+#: the converged full-replay state — identical contract to
+#: diff_apply_converges: commit_id excluded (no-op updates keep dest's)
+ORACLES["wap_audit_publish"] = SQL_DIFF_APPLY_CONVERGES
+
+
 def q_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS materialized-view maintenance hard-signal row: the
     change feed streamed with PRE-IMAGES (``includepre`` — the Delta-CDF
@@ -3858,7 +4062,10 @@ ORACLES["canon_suite"] = SQL_CANON_SUITE
 _SCORED_WINDOW = [
     # CDC core (S/J/A/D rows)
     "cdc_lww_dedup", "cdc_state", "cdc_delta", "cdc_add_anti",
-    "cdc_delete_anti", "cdc_update_digest", "cdc_lww_salted", "altkey_delta",
+    # round-4 component: write-audit-publish staged commits (cdc_lww_salted
+    # rotated out — LWW stays represented by cdc_lww_dedup and the salted
+    # variant carries driver-green rows in BOTH r02 and r03)
+    "cdc_delete_anti", "cdc_update_digest", "wap_audit_publish", "altkey_delta",
     "diff_apply_converges", "diff_report_fields", "epoch_lineage",
     # projection / filter / keys
     "ignore_filter", "runtime_ignore", "null_key_skip", "dup_altkey",
@@ -3878,9 +4085,17 @@ _SCORED_WINDOW = [
     # LLM-data-pipeline operators
     "text_stats", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_jaccard_capped", "dedup_minhash",
-    "dedup_simhash", "embedding_near_dups", "dedup_clusters",
+    # round-4 component: SCD2 history from the feed (dedup_simhash rotated
+    # out — it carries driver-green rows in BOTH r02 and r03 and the dedup
+    # family keeps six scored representatives)
+    "scd2_history",
+    "embedding_near_dups", "dedup_clusters",
     "semantic_decontam", "decontaminate_keep", "sample_mixture",
-    "pack_sequences", "multimodal_features", "ann_topk", "ann_ivf",
+    "pack_sequences", "multimodal_features", "ann_topk",
+    # round-4 component: feed-refreshed alternate-key index (ann_ivf
+    # rotated out — ANN stays represented by ann_topk and ann_ivf carries
+    # driver-green rows in BOTH r02 and r03)
+    "secondary_index_lookup",
 ]
 assert len(_SCORED_WINDOW) == 50, len(_SCORED_WINDOW)
 
@@ -4047,3 +4262,65 @@ SQL_MULTI_REPLICATION_E2E = """
 
 QUERIES["multi_replication_e2e"] = q_multi_replication_e2e
 ORACLES["multi_replication_e2e"] = SQL_MULTI_REPLICATION_E2E
+
+
+# ---------------------------------------------------------------------------
+# predicate DML (registered beyond the scored window; parity-checked by
+# tools/parity_check.py like the other lake rows)
+# ---------------------------------------------------------------------------
+
+def q_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DML hard-signal row (sources/lake.py delete_where /
+    update_where — Delta/Iceberg DELETE WHERE + UPDATE…SET on this
+    backend): the half-log LWW state is loaded into a lake table, a bulk
+    predicate DELETE removes one repo and a predicate UPDATE rewrites the
+    content of every 'F'-lang row — both compiled to ordinary keyed
+    change commits (touched-buckets-only writes, feed-visible). The
+    reference can only delete/update by enumerated ids
+    (/root/reference/bcdc2bcdc/CKANUpdate.py delete/update branches fed
+    by the J1-J3 sets); the predicate forms are the bulk operations a
+    lake user actually types (retention, GDPR erasure, backfill edits).
+    Output: the final table payload state."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq_dir(spark, sf_dir)
+    dest = cdc_state(ev, half).withColumnRenamed("commit_id", "commit")
+    work = tempfile.mkdtemp(prefix="cdc_dml_")
+    out = _session_tmp("dml_delete_update")
+    try:
+        t = HashBucketParquetTable(spark, f"{work}/lake", n_buckets=16)
+        t.init(dest)
+        n_del = t.delete_where(F.col("repo") == "r7")
+        n_upd = t.update_where(
+            F.col("lang") == "F",
+            {"content": F.concat(F.col("content"), F.lit("+F"))},
+        )
+        if not n_del or not n_upd:
+            raise AssertionError(
+                f"DML row degenerated: {n_del} deletes, {n_upd} updates"
+            )
+        (
+            t.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+SQL_DML_DELETE_UPDATE = f"""
+    WITH dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")})
+    SELECT repo, path, lang,
+           CASE WHEN lang = 'F' THEN content || '+F' ELSE content END AS content
+    FROM dest
+    WHERE repo <> 'r7'
+"""
+
+QUERIES["dml_delete_update"] = q_dml_delete_update
+ORACLES["dml_delete_update"] = SQL_DML_DELETE_UPDATE

@@ -161,6 +161,11 @@ def pd_row_digest(frame: pd.DataFrame, cols: list[str]) -> pd.Series:
             data = (_VAL_TAG + v).encode("utf-8")
         return hashlib.sha256(data).hexdigest()
 
+    if not cols:
+        # empty compare set: the same per-row constant the JVM branch
+        # emits (sha256 of concat_ws over zero columns = sha256(""))
+        empty = hashlib.sha256(b"").hexdigest()
+        return pd.Series([empty] * len(frame), index=frame.index)
     rendered = [_render_cells(frame[c]) for c in cols]
     out = []
     for row in zip(*rendered) if rendered else []:
@@ -190,6 +195,12 @@ def with_row_digest(
     impl="arrow"  → pandas/Arrow UDF (north-rule mandated path).
     impl="jvm"    → whole-stage-codegen ``sha2`` (fastest; identical output).
     """
+    if not cols:
+        # empty compare set (a pure-mapping table, e.g. the secondary
+        # index: identity IS the payload): every row digests to the same
+        # constant — sha256("") on both impls — so UPDATE detection never
+        # fires, which is exactly right when there is nothing to compare
+        return df.withColumn(out, row_digest_expr([]))
     types = dict(df.dtypes)
 
     def rendered(c: str) -> Column:

@@ -106,6 +106,13 @@ class HashBucketParquetTable:
     path: str
     key_cols: tuple[str, ...] = KEY_COLS
     n_buckets: int = 16
+    #: columns the bucket hash is computed over — None means key_cols.
+    #: Must be a SUBSET of key_cols: bucket placement has to be a function
+    #: of row identity or two versions of one key could land in different
+    #: buckets and the per-bucket merge would keep both. A proper subset
+    #: lets probes that know only those columns prune buckets (the
+    #: secondary-index table buckets by the alt key alone, sources/index.py).
+    bucket_cols: tuple[str, ...] | None = None
     protected: bool = False
     #: canonical compare payload; its digest is PERSISTED as a `_digest`
     #: column so merges compare stored digests instead of recomputing over
@@ -160,16 +167,24 @@ class HashBucketParquetTable:
         """Create the table from a snapshot. Overwrites any prior state.
         Computes and persists the `_digest` column."""
         self._check_writable()
+        bcols = list(self.bucket_cols or self.key_cols)
+        if not set(bcols) <= set(self.key_cols):
+            raise ValueError(
+                f"bucket_cols {bcols} must be a subset of key_cols "
+                f"{list(self.key_cols)} (bucket placement must be a function "
+                "of row identity)"
+            )
         with_digest = with_row_digest(
             df, [c for c in self.compare_cols if c in df.columns], "_digest", impl=digest_impl
         )
         gen, written = self._write_generation(
-            with_digest.withColumn("_bucket", _bucket_expr(self.key_cols, self.n_buckets))
+            with_digest.withColumn("_bucket", _bucket_expr(bcols, self.n_buckets))
         )
         compare = [c for c in self.compare_cols if c in df.columns]
         meta = {
             "key_cols": list(self.key_cols),
             "n_buckets": self.n_buckets,
+            "bucket_cols": bcols,
             "compare_cols": compare,
             # what the PERSISTED `_digest` column covers; upserts may
             # only trust stored digests while this equals compare_cols
@@ -492,7 +507,9 @@ class HashBucketParquetTable:
             # over ONE column set — same rule as the CoW upsert path
             u = with_row_digest(u.drop("_digest"), compare, "_digest", impl=digest_impl)
         merged = self._merge_versions(u, schema, digest_impl=digest_impl)
-        return merged.withColumn("_bucket", _bucket_expr(self.key_cols, n_buckets))
+        return merged.withColumn(
+            "_bucket", _bucket_expr(self._bucket_cols_resolved(meta), n_buckets)
+        )
 
     def _read_raw_from(
         self, meta: dict, buckets: Sequence[int] | None = None
@@ -515,7 +532,8 @@ class HashBucketParquetTable:
         else:
             df = self.spark.read.schema(schema).parquet(*dirs)
         return df.withColumn(
-            "_bucket", _bucket_expr(self.key_cols, self._n_buckets(meta))
+            "_bucket",
+            _bucket_expr(self._bucket_cols_resolved(meta), self._n_buckets(meta)),
         )
 
     def read(self) -> DataFrame:
@@ -533,7 +551,8 @@ class HashBucketParquetTable:
         upsert's."""
         meta = self._meta()
         kb = keys.select(*self.key_cols).withColumn(
-            "_bucket", _bucket_expr(self.key_cols, self._n_buckets(meta))
+            "_bucket",
+            _bucket_expr(self._bucket_cols_resolved(meta), self._n_buckets(meta)),
         )
         buckets = [r["_bucket"] for r in kb.select("_bucket").distinct().collect()]
         base = self._read_merged_raw(buckets=sorted(set(buckets)), meta=meta)
@@ -716,11 +735,20 @@ class HashBucketParquetTable:
             meta = self._meta() if self.exists() else {}
         return int(meta.get("n_buckets", self.n_buckets))
 
+    def _bucket_cols_resolved(self, meta: dict | None = None) -> list[str]:
+        """The AUTHORITATIVE bucket-hash column set: persisted at init
+        (like ``n_buckets``), defaulting to key_cols for every table
+        created before the field existed."""
+        if meta is None:
+            meta = self._meta() if self.exists() else {}
+        return list(meta.get("bucket_cols", self.bucket_cols or self.key_cols))
+
     def bucket_expr(self) -> F.Column:
         """The table's bucket assignment expression — callers that already
         scan the change batch (lineage) can collect touched buckets in the
         same job and pass them to ``upsert(touched=...)``."""
-        return _bucket_expr(self.key_cols, self._n_buckets())
+        meta = self._meta() if self.exists() else {}
+        return _bucket_expr(self._bucket_cols_resolved(meta), self._n_buckets(meta))
 
     def upsert(
         self,
@@ -786,9 +814,8 @@ class HashBucketParquetTable:
             )
         digests_current = meta.get("digest_cols", persisted) == list(compare_cols)
         n_buckets = self._n_buckets(meta)
-        changes_b = changes.withColumn(
-            "_bucket", _bucket_expr(self.key_cols, n_buckets)
-        )
+        bcols = self._bucket_cols_resolved(meta)
+        changes_b = changes.withColumn("_bucket", _bucket_expr(bcols, n_buckets))
         if touched is None:
             # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
             touched = [
@@ -802,9 +829,124 @@ class HashBucketParquetTable:
                 changes_b, list(compare_cols), digest_impl, base_seq
             )
             return
-        # manifest-resolved read of exactly the touched buckets' dirs —
-        # MERGED (any outstanding MOR deltas fold in here and their lists
-        # are cleared by this commit: CoW rewrite supersedes them)
+        merged = self._cow_merged_plan(
+            changes_b, list(compare_cols), digest_impl, meta, touched,
+            digests_current=digests_current,
+        )
+        # No caching: recomputing the plan is cheaper than materializing it,
+        # and at scale cache memory is better spent on shuffle.
+        self._commit_generation(merged, touched, expected_seq=base_seq)
+
+    def delete_where(self, predicate, digest_impl: str = "jvm") -> int:
+        """Predicate DELETE (Delta/Iceberg ``DELETE WHERE``), compiled to
+        ordinary keyed DELETE change events and committed through
+        ``upsert``. The reference can only delete by enumerated ids
+        (``CKANUpdate.py`` delete branch, fed by the J1 anti-join); a
+        predicate delete is the bulk form a lake user actually types
+        (retention, GDPR erasure).
+
+        One merged scan finds the victims — the predicate is pushed into
+        the parquet scan, and column pruning means only the predicate's
+        columns plus the keys are read — then the normal MERGE rewrites
+        just the touched buckets (CoW) or appends tombstones (MOR).
+        Because the deletion IS a change commit, every feed consumer
+        (incremental MVs, secondary indexes, SCD2 history, replication)
+        observes it with zero special cases. Returns the victim count;
+        zero victims ⇒ no commit at all."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        schema = self.data_schema()
+        payload = [f for f in schema.fields if f.name not in self.key_cols]
+        changes = (
+            self.read()
+            .where(pred)
+            .select(
+                *self.key_cols,
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+            )
+            .withColumn("op", F.lit(OP_DELETE))
+            .persist()  # one scan serves count + touched discovery + merge
+        )
+        try:
+            n = changes.count()
+            if n:
+                self.upsert(changes, digest_impl=digest_impl)
+        finally:
+            changes.unpersist()
+        return n
+
+    def update_where(
+        self, predicate, assignments: dict, digest_impl: str = "jvm"
+    ) -> int:
+        """Predicate UPDATE (Delta/Iceberg ``UPDATE ... SET``): rows
+        matching ``predicate`` get each ``assignments`` column replaced by
+        its expression (a Column or SQL string, evaluated against the
+        current row), compiled to keyed UPDATE change events and committed
+        through ``upsert`` — same one-scan, touched-buckets-only,
+        feed-visible contract as ``delete_where``.
+
+        Key columns cannot be assigned (rewriting identity is a
+        delete+add, not an update). Rows whose assigned values come out
+        identical (null-safe, per column) are filtered BEFORE the write,
+        so the commit cost is O(effectively-changed rows) — and an
+        assignment that changes nothing commits nothing. Returns the
+        effectively-updated row count."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        schema = self.data_schema()
+        names = {f.name for f in schema.fields}
+        bad = sorted(set(assignments) & set(self.key_cols))
+        if bad:
+            raise ValueError(
+                f"cannot assign key columns {bad} — delete_where + a new "
+                "ADD is how identity changes"
+            )
+        missing = sorted(set(assignments) - names)
+        if missing:
+            raise ValueError(f"assignment targets {missing} not in table schema")
+        types = {f.name: f.dataType for f in schema.fields}
+        new = {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
+            for c, e in assignments.items()
+        }
+        matched = self.read().where(pred)
+        changed = None
+        for c, expr in new.items():
+            neq = ~expr.eqNullSafe(F.col(c))
+            changed = neq if changed is None else (changed | neq)
+        changes = (
+            matched.where(changed)
+            .select(
+                *[
+                    new[f.name].alias(f.name) if f.name in new else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            .withColumn("op", F.lit(OP_UPDATE))
+            .persist()  # one scan serves count + touched discovery + merge
+        )
+        try:
+            n = changes.count()
+            if n:
+                self.upsert(changes, digest_impl=digest_impl)
+        finally:
+            changes.unpersist()
+        return n
+
+    def _cow_merged_plan(
+        self,
+        changes_b: DataFrame,
+        compare_cols: list[str],
+        digest_impl: str,
+        meta: dict,
+        touched: Sequence[int],
+        digests_current: bool | None = None,
+    ) -> DataFrame:
+        """The CoW merge plan: manifest-resolved read of exactly the
+        touched buckets' dirs — MERGED (any outstanding MOR deltas fold in
+        here and their lists are cleared by the commit that stages this
+        plan's output: CoW rewrite supersedes them) — with the change set
+        MERGEd on top. Shared by ``upsert`` and ``stage_upsert``."""
+        if digests_current is None:
+            digests_current = meta.get("digest_cols", compare_cols) == compare_cols
         base = self._read_merged_raw(
             buckets=touched, meta=meta, digest_impl=digest_impl
         ).drop("_bucket")
@@ -825,7 +967,7 @@ class HashBucketParquetTable:
         changes_d = with_row_digest(
             changes_b.drop("_bucket"), list(compare_cols), "_cdigest", impl=digest_impl
         )
-        merged = apply_changes(
+        return apply_changes(
             base,
             changes_d,
             key_cols=self.key_cols,
@@ -834,10 +976,10 @@ class HashBucketParquetTable:
             base_digest_col="_digest",
             changes_digest_col="_cdigest",
             out_digest_col="_digest",
-        ).withColumn("_bucket", _bucket_expr(self.key_cols, n_buckets))
-        # No caching: recomputing the plan is cheaper than materializing it,
-        # and at scale cache memory is better spent on shuffle.
-        self._commit_generation(merged, touched, expected_seq=base_seq)
+        ).withColumn(
+            "_bucket",
+            _bucket_expr(self._bucket_cols_resolved(meta), self._n_buckets(meta)),
+        )
 
     def _upsert_mor(
         self,
@@ -852,13 +994,24 @@ class HashBucketParquetTable:
         ``op`` column rides along: DELETE rows are tombstones, ADD/UPDATE
         rows are upserts; ``read()`` resolves them per key. The change set
         must be key-unique (lww_dedup first), same precondition as CoW."""
-        schema_cols = [f.name for f in self.data_schema().fields]
-        delta = with_row_digest(
-            changes_b, compare_cols, "_digest", impl=digest_impl
-        ).select(*schema_cols, "_digest", "op", "_bucket")
+        delta = self._mor_delta_frame(changes_b, compare_cols, digest_impl)
         gen, written = self._write_generation(delta)
         if not written:
             return  # empty change set — nothing staged but an empty dir
+        self._commit_delta(gen, written, expected_seq)
+
+    def _mor_delta_frame(
+        self, changes_b: DataFrame, compare_cols: list[str], digest_impl: str
+    ) -> DataFrame:
+        schema_cols = [f.name for f in self.data_schema().fields]
+        return with_row_digest(
+            changes_b, compare_cols, "_digest", impl=digest_impl
+        ).select(*schema_cols, "_digest", "op", "_bucket")
+
+    def _commit_delta(self, gen: str, written: set[int], expected_seq: int) -> None:
+        """Atomically append a STAGED delta generation to the touched
+        buckets' delta lists (the MOR commit tail — shared by the direct
+        upsert and a published WAP staging)."""
         meta = self._meta()
         if int(meta.get("commit_seq", 0)) != expected_seq:
             raise ConcurrentWriteError(
@@ -872,6 +1025,52 @@ class HashBucketParquetTable:
         for b in sorted(written):
             dmap.setdefault(str(b), []).append({"gen": gen, "seq": seq})
         self._finalize_commit(meta, seq, before_refs)
+
+    def stage_upsert(
+        self, changes: DataFrame, digest_impl: str = "jvm"
+    ) -> "StagedUpsert":
+        """WRITE–AUDIT–PUBLISH staging (the Iceberg WAP pattern on this
+        backend): run the FULL merge (CoW) or delta-stage (MOR) write job
+        now, but commit nothing — return a handle whose ``read()``
+        exposes the exact would-be table state for audits (row counts,
+        quality rules, reconciliation against a source) and whose
+        ``publish()`` performs only the atomic manifest swap. Audited
+        data becomes visible to readers in one metadata operation; a
+        failed audit ``abandon()``s the staging and the table keeps its
+        current state — no tombstones, no rollback rewrite, because
+        nothing was ever referenced.
+
+        The reference has no audit gate: updates post straight to the
+        destination API and a bad batch is live until the next run
+        (``/root/reference/bcdc2bcdc/CKANUpdate.py`` update branches).
+        Same optimistic-concurrency contract as ``upsert``: a commit
+        landing between staging and publish makes ``publish()`` raise
+        ``ConcurrentWriteError`` — the audit validated a superseded
+        candidate and must re-run against a fresh staging. A staging
+        whose process dies is ordinary never-referenced garbage, swept
+        after ``staging_grace_s``."""
+        self._check_writable()
+        changes = self._evolve_and_reconcile(changes)
+        meta = self._meta()
+        base_seq = int(meta.get("commit_seq", 0))
+        compare_cols = list(meta.get("compare_cols", self.compare_cols))
+        n_buckets = self._n_buckets(meta)
+        bcols = self._bucket_cols_resolved(meta)
+        changes_b = changes.withColumn("_bucket", _bucket_expr(bcols, n_buckets))
+        touched = sorted(
+            {r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()}
+        )
+        mode = self._write_mode_resolved(meta)
+        if not touched:
+            return StagedUpsert(self, None, set(), [], base_seq, meta, mode)
+        if mode == "mor":
+            frame = self._mor_delta_frame(changes_b, compare_cols, digest_impl)
+        else:
+            frame = self._cow_merged_plan(
+                changes_b, compare_cols, digest_impl, meta, touched
+            )
+        gen, written = self._write_generation(frame)
+        return StagedUpsert(self, gen, written, touched, base_seq, meta, mode)
 
     def _commit_generation(
         self,
@@ -897,6 +1096,27 @@ class HashBucketParquetTable:
         (``ConcurrentWriteError``) leaving the staged generation
         unreferenced — the winner's table state is untouched."""
         gen, written = self._write_generation(merged)
+        self._apply_staged(
+            gen,
+            written,
+            touched,
+            expected_seq=expected_seq,
+            meta_updates=meta_updates,
+            full_replace=full_replace,
+        )
+
+    def _apply_staged(
+        self,
+        gen: str,
+        written: set[int],
+        touched: Sequence[int],
+        expected_seq: int | None = None,
+        meta_updates: dict | None = None,
+        full_replace: bool = False,
+    ) -> None:
+        """The commit half of ``_commit_generation``: swap an ALREADY
+        STAGED generation into the manifest (also the publish step of a
+        WAP staging)."""
         meta = self._meta()
         if expected_seq is not None and int(meta.get("commit_seq", 0)) != expected_seq:
             raise ConcurrentWriteError(
@@ -1106,7 +1326,7 @@ class HashBucketParquetTable:
         if new_n_buckets == self._n_buckets(meta):
             return
         rewritten = self._read_merged_raw(meta=meta).drop("_bucket").withColumn(
-            "_bucket", _bucket_expr(self.key_cols, new_n_buckets)
+            "_bucket", _bucket_expr(self._bucket_cols_resolved(meta), new_n_buckets)
         )
         self._commit_generation(
             rewritten,
@@ -1121,6 +1341,95 @@ class HashBucketParquetTable:
         if gen is None:
             return set()
         return self.fs.list_files(self._bucket_dir(bucket, gen), ".parquet")
+
+
+@dataclass
+class StagedUpsert:
+    """A staged-but-uncommitted upsert (see ``stage_upsert``): the data
+    work is done, the atomic manifest swap is pending.
+
+    Lifecycle: ``read()`` any number of times (the audit), then exactly
+    one of ``publish()`` / ``abandon()``. ``gen is None`` marks an empty
+    change set — publish is then a recorded no-op, matching ``upsert``'s
+    empty-set short-circuit."""
+
+    table: HashBucketParquetTable
+    gen: str | None
+    written: set
+    touched: list
+    expected_seq: int
+    base_meta: dict
+    mode: str
+    done: str | None = None  # "published" | "abandoned"
+
+    def candidate_meta(self) -> dict:
+        """The manifest AS IF this staging were committed — derived from
+        the frozen base manifest, so the audit always sees one coherent
+        snapshot even while other writers race."""
+        import copy
+
+        m = copy.deepcopy(self.base_meta)
+        if self.gen is None or not self.written:
+            return m
+        if self.mode == "mor":
+            dmap = m.setdefault("deltas", {})
+            for b in sorted(self.written):
+                dmap.setdefault(str(b), []).append(
+                    {"gen": self.gen, "seq": self.expected_seq + 1}
+                )
+        else:
+            bmap = m.setdefault("buckets", {})
+            dmap = m.setdefault("deltas", {})
+            for b in self.touched:
+                if b in self.written:
+                    bmap[str(b)] = self.gen
+                else:
+                    bmap.pop(str(b), None)  # bucket emptied by the staging
+                dmap.pop(str(b), None)  # CoW rewrite supersedes deltas
+        return m
+
+    def read(self, buckets=None) -> DataFrame:
+        """The WOULD-BE table state (whole table, or just ``buckets`` —
+        pass ``touched`` to audit only what changed)."""
+        self._check_open("read")
+        return self.table._read_merged_raw(
+            buckets=buckets, meta=self.candidate_meta()
+        ).drop("_bucket", "_digest")
+
+    def publish(self) -> None:
+        """The atomic commit: metadata-only (the data job already ran at
+        staging time). Raises ``ConcurrentWriteError`` if any commit
+        landed since staging."""
+        self._check_open("publish")
+        t = self.table
+        if self.gen is None:
+            self.done = "published"
+            return
+        if not self.written:
+            t.fs.remove_dir(os.path.join(t.data_path, self.gen))
+            self.done = "published"
+            return
+        if self.mode == "mor":
+            t._commit_delta(self.gen, self.written, self.expected_seq)
+        else:
+            t._apply_staged(
+                self.gen, self.written, self.touched, expected_seq=self.expected_seq
+            )
+        self.done = "published"
+
+    def abandon(self) -> None:
+        """Drop the staging: the table never saw it. Idempotent."""
+        if self.done == "published":
+            raise RuntimeError("staging already published — cannot abandon")
+        if self.gen is not None:
+            self.table.fs.remove_dir(
+                os.path.join(self.table.data_path, self.gen)
+            )
+        self.done = "abandoned"
+
+    def _check_open(self, action: str) -> None:
+        if self.done:
+            raise RuntimeError(f"cannot {action}: staging already {self.done}")
 
 
 def iceberg_merge_sql(
