@@ -4324,3 +4324,139 @@ SQL_DML_DELETE_UPDATE = f"""
 
 QUERIES["dml_delete_update"] = q_dml_delete_update
 ORACLES["dml_delete_update"] = SQL_DML_DELETE_UPDATE
+
+
+def q_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-rollback hard-signal row (sources/lake.py restore — Delta
+    RESTORE / Iceberg rollback analog): the half-log LWW state is loaded
+    (v1), the full-log delta is merged on top (v2 = full state), then the
+    table is RESTORED to v1 as a third commit — a metadata-only
+    generation re-point. The feed across the restore (v2→v3) must be the
+    exact inverse of the merged delta (checked in-query against
+    snapshot_diff), and the final payload state must equal the half-log
+    replay, which is what the DuckDB oracle recomputes. The reference has
+    no rollback at all — a bad run is live until the next run re-syncs
+    (/root/reference/bcdc2bcdc/CKANUpdate.py posts straight to the
+    destination API)."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.operators.diff import snapshot_diff
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq_dir(spark, sf_dir)
+    src = cdc_state(ev, None).withColumnRenamed("commit_id", "commit")
+    dest = cdc_state(ev, half).withColumnRenamed("commit_id", "commit")
+    work = tempfile.mkdtemp(prefix="cdc_restore_")
+    out = _session_tmp("restore_rollback")
+    try:
+        t = HashBucketParquetTable(
+            spark, f"{work}/lake", n_buckets=16, retain_generations=4
+        )
+        t.init(dest)
+        delta = snapshot_diff(src, dest, canonicalize=False, digest_impl="jvm")
+        t.upsert(delta)
+        restored = t.restore(1)
+        if restored != 3:
+            raise AssertionError(f"expected restore commit 3, got {restored}")
+        # the rollback is ordinary feed traffic: exactly the inverse delta
+        inverse = snapshot_diff(
+            t.read_version(1), t.read_version(2), digest_impl="jvm"
+        ).select("repo", "path", "op")
+        feed = t.read_changes(2, 3).select("repo", "path", "op")
+        if feed.exceptAll(inverse).count() or inverse.exceptAll(feed).count():
+            raise AssertionError("restore feed is not the inverse delta")
+        (
+            t.read()
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+SQL_RESTORE_ROLLBACK = f"""
+    WITH dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")})
+    SELECT repo, path, lang, content FROM dest
+"""
+
+QUERIES["restore_rollback"] = q_restore_rollback
+ORACLES["restore_rollback"] = SQL_RESTORE_ROLLBACK
+
+
+def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view hard-signal row (operators/joinview.py
+    IncrementalJoinView — the reference's FK enrichment as a materialized
+    join: DataCache.py:384-437 re-resolves foreign keys through a full
+    in-memory dump every run; here the enriched view advances O(affected
+    rows) from BOTH tables' change feeds): facts (half-log LWW state) are
+    enriched with a lang dimension; then the full-log delta lands on the
+    fact side AND a dimension row changes (fanning out to every
+    referencing fact) in one refresh interval. Output: the final view,
+    which the oracle recomputes as a plain SQL join."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.operators.diff import snapshot_diff
+    from bcdc2bcdc_spark.operators.joinview import IncrementalJoinView
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq_dir(spark, sf_dir)
+    src = cdc_state(ev, None).withColumnRenamed("commit_id", "commit")
+    dest = cdc_state(ev, half).withColumnRenamed("commit_id", "commit")
+    work = tempfile.mkdtemp(prefix="cdc_jv_")
+    out = _session_tmp("join_view_incremental")
+    try:
+        left = HashBucketParquetTable(spark, f"{work}/facts", n_buckets=16)
+        left.init(dest)
+        right = HashBucketParquetTable(
+            spark,
+            f"{work}/dim",
+            key_cols=("lang",),
+            compare_cols=("family",),
+            n_buckets=4,
+        )
+        right.init(
+            dest.select("lang")
+            .where(F.col("lang").isNotNull())
+            .distinct()
+            .withColumn("family", F.concat(F.lit("fam-"), F.col("lang")))
+        )
+        view = IncrementalJoinView(
+            left, right, f"{work}/view", on=("lang",), how="inner", n_buckets=16
+        )
+        view.build()
+        left.upsert(snapshot_diff(src, dest, canonicalize=False, digest_impl="jvm"))
+        right.upsert(
+            spark.createDataFrame(
+                [("F", "fam-F2", "UPDATE")], "lang string, family string, op string"
+            )
+        )
+        view.refresh()
+        (
+            view.read()
+            .select("repo", "path", "lang", "content", "family")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+SQL_JOIN_VIEW_INCREMENTAL = f"""
+    WITH src AS ({SNAP_SQL.format(ev=EV_SQL, where="")}),
+         dest AS ({SNAP_SQL.format(ev=EV_SQL, where=f"WHERE event_seq <= {HALF_SQL}")}),
+         dim AS (SELECT DISTINCT lang FROM dest WHERE lang IS NOT NULL)
+    SELECT s.repo, s.path, s.lang, s.content,
+           CASE WHEN s.lang = 'F' THEN 'fam-F2'
+                ELSE 'fam-' || s.lang END AS family
+    FROM src s JOIN dim d ON d.lang = s.lang
+"""
+
+QUERIES["join_view_incremental"] = q_join_view_incremental
+ORACLES["join_view_incremental"] = SQL_JOIN_VIEW_INCREMENTAL

@@ -5,6 +5,8 @@ from bcdc2bcdc_spark.operators.components import (
     connected_components,
     dedup_keep_representative,
 )
+from bcdc2bcdc_spark.operators.scd2 import SCD2History
+from bcdc2bcdc_spark.operators.joinview import IncrementalJoinView
 
 __all__ = [
     "lww_dedup",
@@ -13,4 +15,6 @@ __all__ = [
     "apply_changes",
     "connected_components",
     "dedup_keep_representative",
+    "SCD2History",
+    "IncrementalJoinView",
 ]

@@ -1,0 +1,239 @@
+"""Incrementally-maintained JOIN view (FK-enrichment materialization).
+
+The reference enriches records by following foreign keys at sync time —
+every run re-resolves org ids through a full in-memory dump of the
+destination (``/root/reference/bcdc2bcdc/DataCache.py:384-437``,
+``CKANTransform.py`` field remaps). The lake-platform analog is a
+materialized JOIN: fact rows enriched with a dimension's payload, kept
+current as BOTH tables change. At 100 TB neither "recompute the join
+every run" nor "dump the dimension into memory" survives; the view must
+advance from the two change feeds.
+
+Maintenance contract (``refresh()``), O(affected rows) per interval:
+
+* a LEFT-side change touches exactly its own view row — the left feed's
+  keys are the affected set;
+* a RIGHT-side change fans out to every left row referencing that join
+  key. The probe for "which left rows reference these values" is either
+  a :class:`~bcdc2bcdc_spark.sources.index.SecondaryIndex` on the FK
+  column (bucket-pruned: index buckets → left keys → left buckets; the
+  index is itself feed-maintained, so the whole pipeline is O(changes))
+  or, without an index, one column-pruned scan of the left table
+  semi-joined against the (broadcast) changed-key set;
+* affected left rows are point-read (``left.lookup``), their dimension
+  rows are point-read (``right.lookup``), the join is recomputed for
+  exactly those keys, and the view table absorbs the result as one
+  MERGE — including DELETEs for keys that left the view (left-side
+  delete, or an inner join losing its match).
+
+Because each refresh recomputes affected keys from the CURRENT table
+states, replaying an interval after a crash between the view commit and
+the state write is idempotent — same contract as SecondaryIndex.
+
+The join is a key-equality FK enrichment: ``on`` must be exactly the
+right table's key columns, so every left row matches at most one right
+row and view-row identity stays the left key. ``how`` ∈ {"inner",
+"left"}. (Many-to-many joins change row identity and are out of scope —
+that is a different materialization, not a parameter.)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from bcdc2bcdc_spark.schema import OP_DELETE, OP_UPDATE
+from bcdc2bcdc_spark.sources.fs import LocalFS
+from bcdc2bcdc_spark.sources.index import SecondaryIndex
+from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+
+@dataclass
+class IncrementalJoinView:
+    """Materialized ``left ⋈ right`` on ``on`` (== right.key_cols),
+    stored as a lake table at ``path`` and advanced from both feeds."""
+
+    left: HashBucketParquetTable
+    right: HashBucketParquetTable
+    path: str
+    on: tuple[str, ...]
+    how: str = "inner"
+    #: optional feed-maintained index on the left table's ``on`` columns;
+    #: makes the right-driven probe bucket-pruned instead of a scan.
+    fk_index: SecondaryIndex | None = None
+    n_buckets: int = 16
+    fs: object = field(default_factory=LocalFS)
+
+    def __post_init__(self) -> None:
+        if self.how not in ("inner", "left"):
+            raise ValueError(f"how must be 'inner' or 'left', got {self.how!r}")
+        if tuple(self.on) != tuple(self.right.key_cols):
+            raise ValueError(
+                f"on={list(self.on)} must be exactly the right table's key "
+                f"columns {list(self.right.key_cols)} — the view is a "
+                "≤1-match FK enrichment, not a general join"
+            )
+        if self.fk_index is not None and tuple(self.fk_index.index_cols) != tuple(
+            self.on
+        ):
+            raise ValueError(
+                f"fk_index covers {list(self.fk_index.index_cols)}, "
+                f"view joins on {list(self.on)}"
+            )
+
+    # -- storage ----------------------------------------------------------
+
+    @property
+    def state_path(self) -> str:
+        return os.path.join(self.path, "_joinview.json")
+
+    def _right_payload(self) -> list:
+        fields = [
+            f
+            for f in self.right.data_schema().fields
+            if f.name not in self.right.key_cols
+        ]
+        left_names = {f.name for f in self.left.data_schema().fields}
+        clash = sorted({f.name for f in fields} & left_names)
+        if clash:
+            raise ValueError(
+                f"right payload columns {clash} collide with left columns — "
+                "rename them in the right table"
+            )
+        return fields
+
+    def _table(self) -> HashBucketParquetTable:
+        rp = [f.name for f in self._right_payload()]
+        lp = [
+            f.name
+            for f in self.left.data_schema().fields
+            if f.name not in self.left.key_cols
+        ]
+        return HashBucketParquetTable(
+            self.left.spark,
+            os.path.join(self.path, "table"),
+            key_cols=tuple(self.left.key_cols),
+            n_buckets=self.n_buckets,
+            compare_cols=tuple(lp) + tuple(rp),
+        )
+
+    def _state(self) -> dict:
+        if not self.fs.exists(self.state_path):
+            raise ValueError(f"no join view at {self.path} — call build() first")
+        return self.fs.read_json(self.state_path)
+
+    def _write_state(self, left_seq: int, right_seq: int) -> None:
+        self.fs.write_json_atomic(
+            self.state_path,
+            {
+                "left_seq": left_seq,
+                "right_seq": right_seq,
+                "on": list(self.on),
+                "how": self.how,
+            },
+        )
+
+    # -- join plan ---------------------------------------------------------
+
+    def _joined(self, lrows: DataFrame, rrows: DataFrame) -> DataFrame:
+        rp = [f.name for f in self._right_payload()]
+        return lrows.join(
+            rrows.select(*self.on, *rp), list(self.on), self.how
+        )
+
+    # -- build / maintain -------------------------------------------------
+
+    def build(self) -> tuple[int, int]:
+        """Full build from the two tables' PINNED current versions (one
+        shuffle join — at scale, co-bucket both tables on ``on`` or let
+        AQE broadcast the dimension side)."""
+        lseq, rseq = self.left.commit_seq(), self.right.commit_seq()
+        self._table().init(
+            self._joined(self.left.read_version(lseq), self.right.read_version(rseq))
+        )
+        self._write_state(lseq, rseq)
+        return lseq, rseq
+
+    def read(self) -> DataFrame:
+        return self._table().read()
+
+    def refresh(self, digest_impl: str = "jvm") -> dict:
+        """Advance to both tables' current versions from their feeds —
+        see the module docstring for the O(affected rows) plan."""
+        st = self._state()
+        lfrom, rfrom = int(st["left_seq"]), int(st["right_seq"])
+        lcur, rcur = self.left.commit_seq(), self.right.commit_seq()
+        if (lcur, rcur) == (lfrom, rfrom):
+            return {"affected": 0, "left_seq": lcur, "right_seq": rcur}
+        if lcur < lfrom or rcur < rfrom:
+            raise ValueError(
+                f"view at ({lfrom},{rfrom}) is AHEAD of tables at "
+                f"({lcur},{rcur}) — were the base tables re-initialized? "
+                "rebuild the view"
+            )
+        lk = list(self.left.key_cols)
+        parts = []
+        if lcur > lfrom:
+            parts.append(
+                self.left.read_changes(lfrom, lcur, digest_impl=digest_impl)
+                .select(*lk)
+            )
+        if rcur > rfrom:
+            rkeys = (
+                self.right.read_changes(rfrom, rcur, digest_impl=digest_impl)
+                .select(*self.on)
+                .distinct()
+            )
+            if self.fk_index is not None:
+                self.fk_index.refresh(digest_impl=digest_impl)
+                parts.append(self.fk_index.lookup(rkeys).select(*lk))
+            else:
+                parts.append(
+                    self.left.read()
+                    .join(F.broadcast(rkeys), list(self.on), "left_semi")
+                    .select(*lk)
+                )
+        # persist: the affected-key set drives the left point-read, the
+        # delete anti-join, and the final count — one materialization
+        keys = reduce(lambda a, b: a.unionByName(b), parts).distinct().persist()
+        try:
+            n = keys.count()
+            if n:
+                # persist: the affected left rows feed the right-side
+                # bucket discovery (a collect), the join, and the
+                # delete anti-join — point-read them once
+                lrows = self.left.lookup(keys).persist()
+                need = (
+                    lrows.select(*self.on)
+                    .where(
+                        reduce(
+                            lambda a, b: a & b,
+                            [F.col(c).isNotNull() for c in self.on],
+                        )
+                    )
+                    .distinct()
+                )
+                cur = self._joined(lrows, self.right.lookup(need))
+                present = cur.withColumn("op", F.lit(OP_UPDATE))
+                schema = self._table().data_schema()
+                payload = [f for f in schema.fields if f.name not in lk]
+                gone = keys.join(cur.select(*lk), lk, "left_anti").select(
+                    *lk,
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in payload
+                    ],
+                ).withColumn("op", F.lit(OP_DELETE))
+                try:
+                    self._table().upsert(
+                        present.unionByName(gone), digest_impl=digest_impl
+                    )
+                finally:
+                    lrows.unpersist()
+        finally:
+            keys.unpersist()
+        self._write_state(lcur, rcur)
+        return {"affected": n, "left_seq": lcur, "right_seq": rcur}

@@ -618,6 +618,64 @@ class HashBucketParquetTable:
         all_b |= set(m_from.get("deltas", {})) | set(m_to.get("deltas", {}))
         return sorted(int(b) for b in all_b if entry(m_from, b) != entry(m_to, b))
 
+    #: manifest fields that describe the DATA STATE of a version — what
+    #: ``restore`` moves. Operational fields (write_mode, GC bookkeeping)
+    #: stay current: rollback moves data, not table configuration.
+    _DATA_STATE_FIELDS = (
+        "buckets", "deltas", "n_buckets", "bucket_cols", "key_cols",
+        "schema", "compare_cols", "digest_cols",
+    )
+
+    def restore(self, seq: int) -> int:
+        """RESTORE the table to committed version ``seq`` (Delta Lake
+        ``RESTORE TABLE`` / Iceberg rollback analog) as a NEW commit:
+        the live manifest's data-state fields (bucket map, delta lists,
+        bucket scheme, schema, compare/digest sets) are re-pointed at the
+        target version's immutable generation dirs — a pure metadata
+        operation; zero rows are read, copied, or rewritten, at any
+        table size.
+
+        History is never rewritten. Because the restore is itself a
+        commit, ``read_changes(cur_seq, restored_seq)`` yields exactly
+        the inverse of the rolled-back interval's net changes — what a
+        feed consumer (replica, MV, index, SCD2) must apply to follow
+        the rollback — and time travel to the undone versions keeps
+        working while retention holds. Generations the undone commits
+        had retired are resurrected by being referenced again.
+
+        Valid while the target version's generations survive the
+        retention window (same contract as ``read_version``); the
+        no-op case (restoring to the current version) commits nothing.
+        Same optimistic single-winner concurrency as ``upsert``."""
+        self._check_writable()
+        meta = self._meta()
+        cur = int(meta.get("commit_seq", 0))
+        if seq > cur:
+            raise ValueError(
+                f"cannot restore to {seq}: table is at commit {cur}"
+            )
+        if seq == cur:
+            return cur
+        old = self._hist_meta(seq)
+        before_refs = self._referenced_gens(meta)
+        for k in self._DATA_STATE_FIELDS:
+            if k in old:
+                meta[k] = old[k]
+            else:
+                meta.pop(k, None)
+        # re-referencing a retired generation resurrects it — it is live
+        # table state again, not awaiting expiry
+        retired = meta.setdefault("retired", {})
+        for g in self._referenced_gens(meta):
+            retired.pop(g, None)
+        if int(self._meta().get("commit_seq", 0)) != cur:
+            raise ConcurrentWriteError(
+                f"a commit landed during restore (expected seq {cur}) — "
+                "re-run against the current state"
+            )
+        self._finalize_commit(meta, cur + 1, before_refs)
+        return cur + 1
+
     def read_changes(
         self,
         from_seq: int,
