@@ -5,8 +5,6 @@ from bcdc2bcdc_spark.operators.components import (
     connected_components,
     dedup_keep_representative,
 )
-from bcdc2bcdc_spark.operators.scd2 import SCD2History
-from bcdc2bcdc_spark.operators.joinview import IncrementalJoinView
 
 __all__ = [
     "lww_dedup",
@@ -18,3 +16,20 @@ __all__ = [
     "SCD2History",
     "IncrementalJoinView",
 ]
+
+_LAZY = {
+    # lazy (PEP 562): these operators import sources.lake, which itself
+    # imports operators.apply — an eager re-export here would make
+    # `import bcdc2bcdc_spark.sources.lake` hit this package mid-init
+    # and die on the cycle
+    "SCD2History": "bcdc2bcdc_spark.operators.scd2",
+    "IncrementalJoinView": "bcdc2bcdc_spark.operators.joinview",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     # run measure the operator, not the lake build
     "change_feed",
     "incremental_mv",
+    # round-4 platform rows (each builds its own small lake; best-of-2
+    # again makes run 2 the operator-cost measurement)
+    "dml_delete_update",
+    "restore_rollback",
+    "join_view_incremental",
 ]
 
 

@@ -140,3 +140,40 @@ def test_restore_write_guard(spark, tmp_path):
 
     with pytest.raises(ProtectedTableError):
         guarded.restore(1)
+
+
+def test_restore_rolls_back_schema_evolution(spark, tmp_path):
+    """Schema (and digest_cols) ride the restore: rolling back past an
+    auto-evolve drops the evolved column, keeps stored digests coherent
+    (no-op suppression still works), and a later upsert re-evolves."""
+    t = HashBucketParquetTable(
+        spark, str(tmp_path / "e"), n_buckets=2, retain_generations=8
+    )
+    t.init(canonicalize_snapshot(gen_repos(spark, n_keys=30)))  # seq 1
+    evolved = spark.createDataFrame(
+        [("zz", "s.py", "c", "go", "x", 5, "ADD")],
+        "repo string, path string, commit string, lang string, content string,"
+        " stars int, op string",
+    )
+    t.upsert(evolved)  # seq 2: auto-evolves, stars joins the compare set
+    assert "stars" in [f.name for f in t.data_schema().fields]
+
+    t.restore(1)  # seq 3: schema back to pre-evolution
+    assert "stars" not in [f.name for f in t.data_schema().fields]
+    assert "stars" not in t.read().columns
+
+    # digests stayed coherent with the restored digest_cols: replaying
+    # identical payload registers zero feed changes (no-op suppression)
+    row = t.read().orderBy("repo", "path").limit(1).collect()[0]
+    seq = t.commit_seq()
+    t.upsert(
+        _changes(
+            spark,
+            [(row["repo"], row["path"], "cX", row["lang"], row["content"], OP_UPDATE)],
+        )
+    )
+    assert t.read_changes(seq, t.commit_seq()).count() == 0
+
+    t.upsert(evolved)  # re-evolves cleanly after the rollback
+    assert "stars" in t.read().columns
+    assert t.read().where("path = 's.py'").count() == 1
