@@ -128,6 +128,30 @@ class LakeCatalog:
             )
         return t.read_version(int(pins[name]["seq"]))
 
+    # -- multi-table transaction ------------------------------------------
+
+    def transaction(self) -> "CatalogTransaction":
+        """Begin a multi-table write that becomes visible to CATALOG
+        READERS atomically: each table's change set is STAGED through its
+        write–audit–publish path (``stage_upsert`` — the full merge jobs
+        run, nothing commits), the staged states can be audited together,
+        and ``commit()`` publishes every staging then advances the
+        catalog with one atomic snapshot — the transaction's single
+        visibility point for anyone reading through catalog versions.
+
+        Honesty about the boundary: the per-table publishes are
+        individually atomic but sequential, so a reader going DIRECTLY to
+        the tables (not through the catalog) can observe table A's new
+        state before table B's — exactly Iceberg's multi-table commit
+        situation before catalog-level transactions. A crash between
+        publishes leaves published tables published and the catalog
+        un-advanced; re-running the transaction re-stages from current
+        state and converges (MERGE is idempotent). Any
+        ``ConcurrentWriteError`` at publish aborts the remaining
+        stagings (``abandon``) — already-published tables stay, again
+        converging on re-run."""
+        return CatalogTransaction(self)
+
     # -- coordinated rollback --------------------------------------------
 
     def restore(self, version: int) -> int:
@@ -154,3 +178,74 @@ class LakeCatalog:
                     "restore is idempotent)"
                 ) from e
         return self.snapshot()
+
+
+@dataclass
+class CatalogTransaction:
+    """Staged multi-table write (see ``LakeCatalog.transaction``).
+
+    Lifecycle: ``stage(name, changes)`` per table (runs that table's full
+    merge write, commits nothing), optionally ``read(name)`` any staged
+    would-be state for a cross-table audit, then exactly one of
+    ``commit()`` / ``abort()``."""
+
+    catalog: LakeCatalog
+    _staged: dict = field(default_factory=dict)
+    done: str | None = None  # "committed" | "aborted"
+
+    def stage(self, name: str, changes: DataFrame, digest_impl: str = "jvm"):
+        self._check_open("stage")
+        if name in self._staged:
+            raise ValueError(
+                f"table {name!r} already staged in this transaction — "
+                "union the change sets instead (one MERGE per table)"
+            )
+        t = self.catalog._require(name)
+        self._staged[name] = t.stage_upsert(changes, digest_impl=digest_impl)
+        return self
+
+    def read(self, name: str) -> DataFrame:
+        """The WOULD-BE state of a staged table (current state if the
+        table is registered but not staged) — the cross-table audit
+        surface: e.g. join staged facts against staged dims and check FK
+        integrity before anything commits."""
+        self._check_open("read")
+        if name in self._staged:
+            return self._staged[name].read()
+        return self.catalog._require(name).read()
+
+    def commit(self) -> int:
+        """Publish every staging (each an atomic metadata swap), then
+        advance the catalog — the one atomic visibility point for
+        catalog readers. Returns the new catalog version. On a publish
+        conflict (``ConcurrentWriteError``) the remaining stagings are
+        abandoned and the error re-raised; re-run the transaction."""
+        self._check_open("commit")
+        names = sorted(self._staged)
+        for i, name in enumerate(names):
+            try:
+                self._staged[name].publish()
+            except Exception:
+                for later in names[i:]:
+                    st = self._staged[later]
+                    if st.done is None:
+                        st.abandon()
+                self.done = "aborted"
+                raise
+        self.done = "committed"
+        return self.catalog.snapshot()
+
+    def abort(self) -> None:
+        """Abandon every staging; no table and no catalog state moved."""
+        if self.done == "committed":
+            raise RuntimeError("transaction already committed")
+        for st in self._staged.values():
+            if st.done is None:
+                st.abandon()
+        self.done = "aborted"
+
+    def _check_open(self, action: str) -> None:
+        if self.done:
+            raise RuntimeError(
+                f"cannot {action}: transaction already {self.done}"
+            )

@@ -116,3 +116,75 @@ def test_read_contracts(cat):
         c.read("nope", v1)
     with pytest.raises(ValueError, match="no catalog version"):
         c.read("facts", 99)
+
+
+def test_transaction_commit_is_catalog_visible_atomically(spark, cat):
+    c, facts, dim = cat
+    v0 = c.snapshot()
+    fs0, ds0 = facts.commit_seq(), dim.commit_seq()
+
+    tx = c.transaction()
+    tx.stage("facts", _lchanges(spark, [("zz", "tx.py", "c", "zig", "x", OP_ADD)]))
+    tx.stage("dim", _rchanges(spark, [("zig", "fam-zig", OP_ADD)]))
+    # cross-table audit on the WOULD-BE states: the new fact's FK resolves
+    # against the staged dim — before anything is committed
+    dangling = tx.read("facts").join(
+        tx.read("dim"), ["lang"], "left_anti"
+    )
+    assert dangling.count() == 0
+    assert facts.commit_seq() == fs0 and dim.commit_seq() == ds0  # nothing moved
+    v1 = tx.commit()
+    assert v1 == v0 + 1
+    assert facts.commit_seq() == fs0 + 1 and dim.commit_seq() == ds0 + 1
+    assert c.read("facts", v1).where("path = 'tx.py'").count() == 1
+    assert c.read("dim", v1).where("lang = 'zig'").count() == 1
+    # catalog surface of v0 still consistent (no zig anywhere)
+    assert c.read("facts", v0).where("lang = 'zig'").count() == 0
+    assert c.read("dim", v0).where("lang = 'zig'").count() == 0
+
+
+def test_transaction_abort_leaves_no_trace(spark, cat):
+    c, facts, dim = cat
+    fs0, ds0 = facts.commit_seq(), dim.commit_seq()
+    before = facts.read().collect()
+    tx = c.transaction()
+    tx.stage("facts", _lchanges(spark, [("zz", "bad.py", "c", "go", "POISON", OP_ADD)]))
+    tx.stage("dim", _rchanges(spark, [("go", "fam-POISON", OP_UPDATE)]))
+    assert tx.read("facts").where("content = 'POISON'").count() == 1
+    tx.abort()
+    assert facts.commit_seq() == fs0 and dim.commit_seq() == ds0
+    assert datasets_equal(
+        facts.read(), spark.createDataFrame(before, facts.read().schema)
+    )
+    with pytest.raises(RuntimeError, match="already aborted"):
+        tx.commit()
+
+
+def test_transaction_conflict_aborts_remaining(spark, cat):
+    c, facts, dim = cat
+    tx = c.transaction()
+    tx.stage("dim", _rchanges(spark, [("go", "fam-TX", OP_UPDATE)]))
+    tx.stage("facts", _lchanges(spark, [("zz", "tx2.py", "c", "go", "x", OP_ADD)]))
+    # an external writer lands on dim between staging and publish
+    dim.upsert(_rchanges(spark, [("md", "fam-EXT", OP_UPDATE)]))
+    from bcdc2bcdc_spark.sources.lake import ConcurrentWriteError
+
+    with pytest.raises(ConcurrentWriteError):
+        tx.commit()
+    assert tx.done == "aborted"
+    # dim kept only the external commit; facts staging was abandoned
+    assert dim.read().where("family = 'fam-TX'").count() == 0
+    assert facts.read().where("path = 'tx2.py'").count() == 0
+
+
+def test_transaction_lifecycle_guards(spark, cat):
+    c, facts, dim = cat
+    tx = c.transaction()
+    tx.stage("facts", _lchanges(spark, [("zz", "a.py", "c", "go", "x", OP_ADD)]))
+    with pytest.raises(ValueError, match="already staged"):
+        tx.stage("facts", _lchanges(spark, [("zz", "b.py", "c", "go", "x", OP_ADD)]))
+    tx.commit()
+    with pytest.raises(RuntimeError, match="already committed"):
+        tx.stage("dim", _rchanges(spark, [("go", "f", OP_UPDATE)]))
+    with pytest.raises(RuntimeError, match="already committed"):
+        tx.abort()
