@@ -123,18 +123,33 @@ class IncrementalJoinView:
     def _state(self) -> dict:
         if not self.fs.exists(self.state_path):
             raise ValueError(f"no join view at {self.path} — call build() first")
-        return self.fs.read_json(self.state_path)
+        st = self.fs.read_json(self.state_path)
+        if st.get("on") != list(self.on) or st.get("how") != self.how:
+            raise ValueError(
+                f"view at {self.path} was built with on={st.get('on')} "
+                f"how={st.get('how')!r} but this handle was opened with "
+                f"on={list(self.on)} how={self.how!r} — mixing join "
+                "semantics in one materialization corrupts it"
+            )
+        return st
 
-    def _write_state(self, left_seq: int, right_seq: int) -> None:
-        self.fs.write_json_atomic(
-            self.state_path,
-            {
-                "left_seq": left_seq,
-                "right_seq": right_seq,
-                "on": list(self.on),
-                "how": self.how,
-            },
-        )
+    def _write_state(
+        self,
+        left_seq: int,
+        right_seq: int,
+        inflight_to: tuple[int, int] | None = None,
+    ) -> None:
+        st = {
+            "left_seq": left_seq,
+            "right_seq": right_seq,
+            "on": list(self.on),
+            "how": self.how,
+        }
+        if inflight_to is not None:
+            # write-ahead intent: the interval pair being applied; a crash
+            # before the next plain write replays exactly this pair
+            st["inflight_to"] = [int(inflight_to[0]), int(inflight_to[1])]
+        self.fs.write_json_atomic(self.state_path, st)
 
     # -- join plan ---------------------------------------------------------
 
@@ -162,18 +177,50 @@ class IncrementalJoinView:
 
     def refresh(self, digest_impl: str = "jvm") -> dict:
         """Advance to both tables' current versions from their feeds —
-        see the module docstring for the O(affected rows) plan."""
+        see the module docstring for the O(affected rows) plan.
+
+        Crash safety is a WRITE-AHEAD INTENT (same scheme as
+        SecondaryIndex/SCD2History): the target interval PAIR is recorded
+        before it is applied, so a crash between the view commit and the
+        state write replays exactly that pair. Affected keys are always
+        recomputed from the CURRENT table states, so the replay converges
+        even when the tables advanced after the crash — what the intent
+        prevents is the wider net feed SKIPPING a key whose post-crash
+        changes cancelled out while the crashed apply had already
+        materialized its intermediate value."""
         st = self._state()
-        lfrom, rfrom = int(st["left_seq"]), int(st["right_seq"])
+        l0, r0 = int(st["left_seq"]), int(st["right_seq"])
+        lfrom, rfrom = l0, r0
+        affected = 0
+        infl = st.get("inflight_to")
+        if infl is not None and (int(infl[0]) > lfrom or int(infl[1]) > rfrom):
+            affected += self._apply_interval(
+                lfrom, rfrom, int(infl[0]), int(infl[1]), digest_impl
+            )
+            lfrom, rfrom = int(infl[0]), int(infl[1])
+            self._write_state(lfrom, rfrom)
         lcur, rcur = self.left.commit_seq(), self.right.commit_seq()
-        if (lcur, rcur) == (lfrom, rfrom):
-            return {"affected": 0, "left_seq": lcur, "right_seq": rcur}
         if lcur < lfrom or rcur < rfrom:
             raise ValueError(
                 f"view at ({lfrom},{rfrom}) is AHEAD of tables at "
                 f"({lcur},{rcur}) — were the base tables re-initialized? "
                 "rebuild the view"
             )
+        if (lcur, rcur) != (lfrom, rfrom):
+            self._write_state(lfrom, rfrom, inflight_to=(lcur, rcur))
+            affected += self._apply_interval(lfrom, rfrom, lcur, rcur, digest_impl)
+            self._write_state(lcur, rcur)
+        return {
+            "affected": affected,
+            "left_seq": max(lcur, lfrom),
+            "right_seq": max(rcur, rfrom),
+        }
+
+    def _apply_interval(
+        self, lfrom: int, rfrom: int, lcur: int, rcur: int, digest_impl: str
+    ) -> int:
+        """Apply ONE pinned interval pair: affected keys from the pinned
+        feeds, recompute from the current table states."""
         lk = list(self.left.key_cols)
         parts = []
         if lcur > lfrom:
@@ -235,5 +282,4 @@ class IncrementalJoinView:
                     lrows.unpersist()
         finally:
             keys.unpersist()
-        self._write_state(lcur, rcur)
-        return {"affected": n, "left_seq": lcur, "right_seq": rcur}
+        return n

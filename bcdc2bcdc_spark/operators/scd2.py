@@ -88,13 +88,17 @@ class SCD2History:
         """The base commit_seq the history currently reflects."""
         return int(self._state()["tracked_seq"])
 
-    def _write_state(self, seq: int, built: int | None = None) -> None:
+    def _write_state(
+        self, seq: int, built: int | None = None, inflight_to: int | None = None
+    ) -> None:
         if built is None:
             built = int(self._state().get("built_seq", 0))
-        self.fs.write_json_atomic(
-            self.state_path,
-            {"tracked_seq": seq, "built_seq": built, "base_path": self.base.path},
-        )
+        st = {"tracked_seq": seq, "built_seq": built, "base_path": self.base.path}
+        if inflight_to is not None:
+            # write-ahead intent: an interval [seq, inflight_to] is being
+            # applied; a crash before the next plain write replays it exactly
+            st["inflight_to"] = int(inflight_to)
+        self.fs.write_json_atomic(self.state_path, st)
 
     # -- build / maintain -------------------------------------------------
 
@@ -116,19 +120,50 @@ class SCD2History:
     def advance(self, digest_impl: str = "jvm") -> dict:
         """Apply the base feed since the last tracked version: one
         bucket-pruned feed read, one pruned read of the touched keys'
-        OPEN history rows, one upsert. Crash between the history commit
-        and the state write replays idempotently (closing an already-
-        closed version and re-adding an identical open one are digest
-        no-ops)."""
+        OPEN history rows, one upsert per interval.
+
+        Crash safety is a WRITE-AHEAD INTENT: the target seq is recorded
+        in the state file BEFORE the interval is applied, so a crash
+        anywhere before the post-commit state write replays EXACTLY the
+        recorded interval — never a wider one. (Replaying the identical
+        interval is a digest no-op; replaying a WIDER one is not: the
+        net feed over [frm, head] can cancel a change the crashed apply
+        already materialized — e.g. an ADD it opened whose key was
+        deleted after the crash would never be closed.)"""
+        st = self._state()
+        frm0 = frm = int(st["tracked_seq"])
+        closed = opened = 0
+        inflight = st.get("inflight_to")
+        if inflight is not None and int(inflight) > frm:
+            # finish (or idempotently re-apply) the crashed interval first
+            c, o = self._apply_interval(frm, int(inflight), digest_impl)
+            closed += c
+            opened += o
+            frm = int(inflight)
+            self._write_state(frm)
         cur = self.base.commit_seq()
-        frm = self.tracked_seq()
-        if cur == frm:
-            return {"from_seq": frm, "to_seq": cur, "closed": 0, "opened": 0}
         if cur < frm:
             raise ValueError(
                 f"history at seq {frm} is AHEAD of base at {cur} — was the "
                 "base table re-initialized? rebuild the history"
             )
+        if cur > frm:
+            self._write_state(frm, inflight_to=cur)  # intent: [frm, cur]
+            c, o = self._apply_interval(frm, cur, digest_impl)
+            closed += c
+            opened += o
+            self._write_state(cur)
+        return {
+            "from_seq": frm0,
+            "to_seq": max(cur, frm),
+            "closed": closed,
+            "opened": opened,
+        }
+
+    def _apply_interval(
+        self, frm: int, cur: int, digest_impl: str
+    ) -> tuple[int, int]:
+        """Apply the net feed of ONE pinned interval to the history."""
         feed = self.base.read_changes(frm, cur, digest_impl=digest_impl)
         kc = list(self.base.key_cols)
         payload = self._payload_cols()
@@ -168,13 +203,7 @@ class SCD2History:
             changes.unpersist()
         finally:
             feed.unpersist()
-        self._write_state(cur)
-        return {
-            "from_seq": frm,
-            "to_seq": cur,
-            "closed": n_closed,
-            "opened": n_opened,
-        }
+        return n_closed, n_opened
 
     def _open_rows_for(self, hist: HashBucketParquetTable, keys: DataFrame) -> DataFrame:
         """Current (valid_to IS NULL) history rows for a key set, reading
@@ -201,10 +230,17 @@ class SCD2History:
         """The base state AS OF a tracked commit, reconstructed from
         intervals — a plain filter, no log replay, valid for any seq ≥
         the build point (earlier states were never tracked)."""
-        built = int(self._state().get("built_seq", 0))
+        st = self._state()
+        built = int(st.get("built_seq", 0))
         if seq < built:
             raise ValueError(
                 f"history starts at commit {built}; {seq} was never tracked"
+            )
+        tracked = int(st["tracked_seq"])
+        if seq > tracked:
+            raise ValueError(
+                f"history is tracked through commit {tracked}; as_of({seq}) "
+                "would silently serve stale data — advance() first"
             )
         return (
             self.history()

@@ -226,7 +226,15 @@ class CatalogTransaction:
             try:
                 self._staged[name].publish()
             except Exception:
-                for later in names[i:]:
+                # abandon only the NOT-YET-ATTEMPTED stagings. The one
+                # that raised is deliberately left alone: its publish may
+                # have failed AFTER the atomic manifest swap (e.g. an I/O
+                # error in the post-commit history write), in which case
+                # the live manifest references its generation and
+                # abandon()'s remove_dir would destroy committed data. An
+                # unpublished leftover is ordinary never-referenced
+                # garbage, swept after the staging grace period.
+                for later in names[i + 1 :]:
                     st = self._staged[later]
                     if st.done is None:
                         st.abandon()

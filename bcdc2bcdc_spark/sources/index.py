@@ -126,15 +126,17 @@ class SecondaryIndex:
         """The base commit_seq the index currently reflects."""
         return int(self._state()["indexed_seq"])
 
-    def _write_state(self, seq: int) -> None:
-        self.fs.write_json_atomic(
-            self.state_path,
-            {
-                "indexed_seq": seq,
-                "index_cols": list(self.index_cols),
-                "base_path": self.base.path,
-            },
-        )
+    def _write_state(self, seq: int, inflight_to: int | None = None) -> None:
+        st = {
+            "indexed_seq": seq,
+            "index_cols": list(self.index_cols),
+            "base_path": self.base.path,
+        }
+        if inflight_to is not None:
+            # write-ahead intent: an interval [seq, inflight_to] is being
+            # applied; a crash before the next plain write replays it exactly
+            st["inflight_to"] = int(inflight_to)
+        self.fs.write_json_atomic(self.state_path, st)
 
     def _entry_valid(self, cols) -> F.Column:
         return reduce(
@@ -169,18 +171,37 @@ class SecondaryIndex:
         Per feed row: ADD → insert (alt, key); DELETE → drop the
         PRE-image entry; UPDATE whose alt value moved → drop old entry +
         insert new one; UPDATE with an unchanged alt value → no index
-        work at all. Replaying an interval after a crash between the
-        index commit and the state write is idempotent (re-inserting an
-        existing entry and re-deleting an absent one are both no-ops)."""
+        work at all.
+
+        Crash safety is a WRITE-AHEAD INTENT: the target seq is recorded
+        BEFORE the interval is applied, so a crash between the index
+        commit and the state write replays EXACTLY the recorded interval
+        (idempotent: re-inserting an existing entry and re-deleting an
+        absent one are no-ops) — never a wider one, whose net feed could
+        cancel an alt-move the crashed apply already materialized and
+        leave a phantom entry behind."""
+        st = self._state()
+        frm0 = frm = int(st["indexed_seq"])
+        entries = 0
+        inflight = st.get("inflight_to")
+        if inflight is not None and int(inflight) > frm:
+            entries += self._apply_interval(frm, int(inflight), digest_impl)
+            frm = int(inflight)
+            self._write_state(frm)
         cur = self.base.commit_seq()
-        frm = self.indexed_seq()
-        if cur == frm:
-            return {"from_seq": frm, "to_seq": cur, "entries": 0}
         if cur < frm:
             raise ValueError(
                 f"index at seq {frm} is AHEAD of base at {cur} — was the "
                 "base table re-initialized? rebuild the index"
             )
+        if cur > frm:
+            self._write_state(frm, inflight_to=cur)  # intent: [frm, cur]
+            entries += self._apply_interval(frm, cur, digest_impl)
+            self._write_state(cur)
+        return {"from_seq": frm0, "to_seq": max(cur, frm), "entries": entries}
+
+    def _apply_interval(self, frm: int, cur: int, digest_impl: str) -> int:
+        """Apply the net feed of ONE pinned interval to the index."""
         # persist: the dels and adds branches BOTH read the feed's
         # full-outer join — one materialization serves the pair (and the
         # downstream count + upsert)
@@ -220,8 +241,8 @@ class SecondaryIndex:
                 self._table().upsert(changes, digest_impl=digest_impl)
         finally:
             changes.unpersist()
-        self._write_state(cur)
-        return {"from_seq": frm, "to_seq": cur, "entries": n}
+            feed.unpersist()
+        return n
 
     # -- probe ------------------------------------------------------------
 
@@ -258,4 +279,10 @@ class SecondaryIndex:
             .join(F.broadcast(probe), ic, "left_semi")
         )
         keys = ents.select(*self.base.key_cols).distinct()
-        return self.base.lookup(keys)
+        # re-filter the CURRENT base rows against the probe: with
+        # allow_stale=True an index entry may point at a key whose alt
+        # value has since moved — the contract is "may MISS keys, never
+        # invent rows", so a returned row must actually match the probe
+        return self.base.lookup(keys).join(
+            F.broadcast(probe), ic, "left_semi"
+        )

@@ -948,6 +948,8 @@ class HashBucketParquetTable:
         so the commit cost is O(effectively-changed rows) — and an
         assignment that changes nothing commits nothing. Returns the
         effectively-updated row count."""
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         schema = self.data_schema()
         names = {f.name for f in schema.fields}
@@ -1427,8 +1429,15 @@ class StagedUpsert:
         import copy
 
         m = copy.deepcopy(self.base_meta)
-        if self.gen is None or not self.written:
+        if self.gen is None:
             return m
+        if self.mode != "mor" and not self.written:
+            # CoW staging whose merge EMPTIED every touched bucket (e.g.
+            # a staged full purge): no files, but the candidate manifest
+            # must still drop the buckets — fall through to the pop loop
+            pass
+        elif not self.written:
+            return m  # MOR: empty delta = no changes
         if self.mode == "mor":
             dmap = m.setdefault("deltas", {})
             for b in sorted(self.written):
@@ -1463,16 +1472,22 @@ class StagedUpsert:
         if self.gen is None:
             self.done = "published"
             return
-        if not self.written:
-            t.fs.remove_dir(os.path.join(t.data_path, self.gen))
-            self.done = "published"
-            return
         if self.mode == "mor":
+            if not self.written:
+                # MOR with an empty delta frame: nothing changed
+                t.fs.remove_dir(os.path.join(t.data_path, self.gen))
+                self.done = "published"
+                return
             t._commit_delta(self.gen, self.written, self.expected_seq)
         else:
+            # NOTE written may be EMPTY here: a CoW merge that emptied
+            # every touched bucket still must commit (the manifest pops
+            # those buckets) — _apply_staged handles written=∅ by popping
             t._apply_staged(
                 self.gen, self.written, self.touched, expected_seq=self.expected_seq
             )
+            if not self.written:
+                t.fs.remove_dir(os.path.join(t.data_path, self.gen))
         self.done = "published"
 
     def abandon(self) -> None:

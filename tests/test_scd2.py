@@ -174,3 +174,37 @@ def test_key_chain_colocates_in_one_bucket(spark, base, tmp_path):
         h.history().groupBy("repo", "path").count().where(F.col("count") > 1).count()
     )
     assert multi > 0  # the invariant was actually exercised by real chains
+
+
+def test_crash_replay_with_further_commits_converges(spark, base, tmp_path):
+    """Crash between the history commit and the state write, then MORE
+    base commits (including a delete of the key the crashed interval
+    added): the intent replay closes what the wider net feed would have
+    silently skipped."""
+    hist = _hist(base, tmp_path)
+    hist.build()
+    s0 = base.commit_seq()
+    base.upsert(
+        _changes(spark, [("zz", "crash.py", "c1", "go", "v1", OP_ADD)])
+    )
+    hist.advance()  # opens (zz, crash.py) at s0+1
+    # simulate the crash: state rolled back WITH the intent recorded
+    hist._write_state(s0, inflight_to=base.commit_seq())
+    # the key is deleted BEFORE the replay runs — the net feed over
+    # [s0, head] would contain no trace of it
+    base.upsert(
+        _changes(spark, [("zz", "crash.py", None, None, None, OP_DELETE)])
+    )
+    hist.advance()
+    # the open version must be CLOSED, and current history == base state
+    open_rows = hist.history().where(
+        (F.col("path") == "crash.py") & (F.col("valid_to_seq").isNull())
+    )
+    assert open_rows.count() == 0
+    cur = hist.history().where(F.col("valid_to_seq").isNull()).drop(
+        "valid_from_seq", "valid_to_seq"
+    )
+    assert datasets_equal(cur, base.read())
+    # and as_of beyond the tracked head refuses rather than serving stale
+    with pytest.raises(ValueError, match="advance"):
+        hist.as_of(base.commit_seq() + 1)

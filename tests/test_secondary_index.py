@@ -256,3 +256,63 @@ def test_bucket_cols_persist_across_handles(spark, base, tmp_path):
             .collect()
         }
         assert expected == {b}
+
+
+def test_crash_replay_with_further_commits_no_phantom(spark, base, tmp_path):
+    """Crash between the index commit and the state write, followed by
+    MORE base commits: the write-ahead intent makes the next refresh
+    replay exactly the crashed interval, so an alt-move materialized by
+    the crashed apply cannot be cancelled out of the net feed and leave
+    a phantom entry behind."""
+    idx = _index(base, tmp_path)
+    idx.build()
+    row = base.read().orderBy("repo", "path").limit(1).collect()[0]
+    s0 = base.commit_seq()
+    base.upsert(
+        _changes_df(
+            spark,
+            [_change(row["repo"], row["path"], "c1", "moved-y", row["content"], OP_UPDATE)],
+        )
+    )
+    idx.refresh()  # applies x->moved-y; index now has (moved-y, K)
+    # simulate the crash: state rolled back to s0 WITH the intent recorded
+    idx._write_state(s0, inflight_to=base.commit_seq())
+    # base moves the alt AGAIN before the replay runs
+    base.upsert(
+        _changes_df(
+            spark,
+            [_change(row["repo"], row["path"], "c2", "moved-z", row["content"], OP_UPDATE)],
+        )
+    )
+    idx.refresh()
+    assert _entries_equal(idx.entries(), _expected_entries(base))
+    # the phantom probe: nothing may come back for the intermediate value
+    assert idx.lookup(
+        spark.createDataFrame([("moved-y",)], "lang string")
+    ).count() == 0
+    got = idx.lookup(spark.createDataFrame([("moved-z",)], "lang string"))
+    assert [(r["repo"], r["path"]) for r in got.collect()] == [
+        (row["repo"], row["path"])
+    ]
+
+
+def test_stale_lookup_never_invents_rows(spark, base, tmp_path):
+    """allow_stale=True may MISS keys but must never return a row whose
+    alt value does not match the probe (the final semi-join guard)."""
+    idx = _index(base, tmp_path)
+    idx.build()
+    row = base.read().orderBy("repo", "path").limit(1).collect()[0]
+    base.upsert(
+        _changes_df(
+            spark,
+            [_change(row["repo"], row["path"], "c", "moved-lang", row["content"], OP_UPDATE)],
+        )
+    )
+    # stale index still maps (old-lang -> K), but K's CURRENT row has
+    # lang=moved-lang — it must NOT be returned for the old value
+    got = idx.lookup(
+        spark.createDataFrame([(row["lang"],)], "lang string"), allow_stale=True
+    )
+    assert (row["repo"], row["path"]) not in {
+        (r["repo"], r["path"]) for r in got.collect()
+    }

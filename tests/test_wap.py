@@ -134,3 +134,33 @@ def test_publish_is_metadata_only(spark, tmp_path):
     dirs_before = set(glob.glob(os.path.join(t.data_path, "gen-*")))
     staged.publish()
     assert set(glob.glob(os.path.join(t.data_path, "gen-*"))) <= dirs_before
+
+
+def test_staged_full_purge_empties_buckets(spark, tmp_path):
+    """A CoW staging whose merge EMPTIES every touched bucket (staged
+    full purge) must audit as empty and publish as a real commit — not
+    silently vanish (the manifest pops the buckets)."""
+    from bcdc2bcdc_spark.functions.canonicalize import canonicalize_snapshot
+    from bcdc2bcdc_spark.generator import gen_repos
+
+    t = HashBucketParquetTable(spark, str(tmp_path / "purge"), n_buckets=4)
+    t.init(canonicalize_snapshot(gen_repos(spark, n_keys=40)))
+    seq0 = t.commit_seq()
+    deletes = t.read().select(
+        "repo", "path",
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+    ).withColumn("op", F.lit(OP_DELETE))
+    st = t.stage_upsert(deletes)
+    # the audit sees the WOULD-BE (empty) state, not the current rows
+    assert st.read().count() == 0
+    assert t.read().count() == 40  # nothing committed yet
+    st.publish()
+    assert t.commit_seq() == seq0 + 1
+    assert t.read().count() == 0
+    # and the feed records the purge as DELETEs
+    assert (
+        t.read_changes(seq0, seq0 + 1).where(F.col("op") == OP_DELETE).count()
+        == 40
+    )
