@@ -24,6 +24,19 @@ class LocalFS:
             return set()
         return {f for f in os.listdir(dir_path) if f.endswith(suffix)}
 
+    def file_sizes(self, dir_path: str, suffix: str = "") -> dict:
+        """name → bytes for the files directly in ``dir_path`` (one
+        listing; the object-store analog is LIST with sizes — metadata,
+        never a data read)."""
+        if not os.path.isdir(dir_path):
+            return {}
+        out = {}
+        with os.scandir(dir_path) as it:
+            for e in it:
+                if e.is_file() and e.name.endswith(suffix):
+                    out[e.name] = e.stat().st_size
+        return out
+
     def list_subdirs(self, dir_path: str) -> set[str]:
         if not os.path.isdir(dir_path):
             return set()

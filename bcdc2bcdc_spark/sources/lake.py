@@ -1244,6 +1244,45 @@ class HashBucketParquetTable:
         # leaves unreferenced dirs for the next sweep
         self._sweep_unreferenced_generations(expired_now=expired)
 
+    def table_stats(self) -> DataFrame:
+        """Maintenance introspection, METADATA-ONLY (directory listings
+        with sizes — never a data read; the 100 TB analog is an
+        object-store LIST per referenced prefix, bounded by
+        n_buckets × (1 + delta depth) listings): one row per bucket with
+        its base generation's file count/bytes and its outstanding MOR
+        delta depth/bytes. This is the input to every maintenance
+        decision the table supports — ``compact_deltas`` thresholds read
+        the ``n_deltas`` column, capacity planning reads the byte
+        columns, and skew shows up as byte imbalance across buckets
+        (the signal to ``rebucket``)."""
+        meta = self._meta()
+        bmap = meta.get("buckets", {})
+        dmap = meta.get("deltas", {})
+        rows = []
+        for b in sorted({int(k) for k in bmap} | {int(k) for k in dmap}):
+            base_gen = bmap.get(str(b))
+            bf = bb = 0
+            if base_gen:
+                sizes = self.fs.file_sizes(
+                    self._bucket_dir(b, base_gen), ".parquet"
+                )
+                bf, bb = len(sizes), sum(sizes.values())
+            df_ = db = 0
+            for e in dmap.get(str(b), []):
+                sizes = self.fs.file_sizes(
+                    self._bucket_dir(b, e["gen"]), ".parquet"
+                )
+                df_ += len(sizes)
+                db += sum(sizes.values())
+            rows.append(
+                (b, base_gen, bf, bb, len(dmap.get(str(b), [])), df_, db)
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, base_gen string, base_files int, base_bytes long, "
+            "n_deltas int, delta_files int, delta_bytes long",
+        )
+
     def compact_deltas(self, max_deltas: int = 0) -> list[int]:
         """MOR maintenance: fold every bucket holding more than
         ``max_deltas`` outstanding delta generations back into a plain

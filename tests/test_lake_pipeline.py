@@ -610,3 +610,38 @@ def test_maintenance_ops_lose_cleanly_to_concurrent_upsert(spark, tmp_path):
     finally:
         table._write_generation = orig_stage
     assert "concurrent-win" in {r["content"] for r in table.read().collect()}
+
+
+def test_table_stats_metadata_only(spark, tmp_path):
+    """table_stats: one row per bucket, byte/file counts from listings,
+    delta depth matches the manifest, and reading stats touches no data."""
+    from bcdc2bcdc_spark.functions.canonicalize import canonicalize_snapshot
+    from bcdc2bcdc_spark.generator import gen_repos
+
+    t = HashBucketParquetTable(
+        spark, str(tmp_path / "stats"), n_buckets=4, write_mode="mor"
+    )
+    t.init(canonicalize_snapshot(gen_repos(spark, n_keys=200)))
+    stats = {r["bucket"]: r for r in t.table_stats().collect()}
+    assert set(stats) == set(range(4))
+    assert all(r["base_files"] >= 1 and r["base_bytes"] > 0 for r in stats.values())
+    assert all(r["n_deltas"] == 0 for r in stats.values())
+
+    # two MOR upserts to one key -> that key's bucket carries 2 deltas
+    row = t.read().orderBy("repo", "path").limit(1).collect()[0]
+    for i in range(2):
+        t.upsert(
+            spark.createDataFrame(
+                [(row["repo"], row["path"], f"c{i}", row["lang"], f"v{i}", "UPDATE")],
+                "repo string, path string, commit string, lang string, content string, op string",
+            )
+        )
+    stats2 = {r["bucket"]: r for r in t.table_stats().collect()}
+    depths = sorted(r["n_deltas"] for r in stats2.values())
+    assert depths.count(2) == 1 and depths.count(0) == 3
+    hot = next(r for r in stats2.values() if r["n_deltas"] == 2)
+    assert hot["delta_files"] >= 2 and hot["delta_bytes"] > 0
+    # the n_deltas column is exactly compact_deltas' decision input
+    assert t.compact_deltas(max_deltas=1) == [hot["bucket"]]
+    after = {r["bucket"]: r for r in t.table_stats().collect()}
+    assert after[hot["bucket"]]["n_deltas"] == 0
