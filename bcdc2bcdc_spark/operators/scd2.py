@@ -196,11 +196,13 @@ class SCD2History:
                 .withColumn("op", F.lit(OP_ADD))
             )
             changes = closes.unionByName(opens).persist()
-            n_closed = changes.where(F.col(VALID_TO).isNotNull()).count()
-            n_opened = changes.where(F.col(VALID_TO).isNull()).count()
-            if n_closed or n_opened:
-                hist.upsert(changes, digest_impl=digest_impl)
-            changes.unpersist()
+            try:
+                n_closed = changes.where(F.col(VALID_TO).isNotNull()).count()
+                n_opened = changes.where(F.col(VALID_TO).isNull()).count()
+                if n_closed or n_opened:
+                    hist.upsert(changes, digest_impl=digest_impl)
+            finally:
+                changes.unpersist()
         finally:
             feed.unpersist()
         return n_closed, n_opened

@@ -28,13 +28,16 @@ class LocalFS:
         """name → bytes for the files directly in ``dir_path`` (one
         listing; the object-store analog is LIST with sizes — metadata,
         never a data read)."""
-        if not os.path.isdir(dir_path):
-            return {}
         out = {}
-        with os.scandir(dir_path) as it:
-            for e in it:
-                if e.is_file() and e.name.endswith(suffix):
-                    out[e.name] = e.stat().st_size
+        try:
+            with os.scandir(dir_path) as it:
+                for e in it:
+                    if e.is_file() and e.name.endswith(suffix):
+                        out[e.name] = e.stat().st_size
+        except FileNotFoundError:
+            # a concurrent commit's GC can sweep a generation between the
+            # caller's manifest read and this listing — absent means empty
+            return {}
         return out
 
     def list_subdirs(self, dir_path: str) -> set[str]:

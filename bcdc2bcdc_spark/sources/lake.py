@@ -1511,28 +1511,45 @@ class StagedUpsert:
         if self.gen is None:
             self.done = "published"
             return
-        if self.mode == "mor":
-            if not self.written:
-                # MOR with an empty delta frame: nothing changed
-                t.fs.remove_dir(os.path.join(t.data_path, self.gen))
-                self.done = "published"
-                return
-            t._commit_delta(self.gen, self.written, self.expected_seq)
-        else:
-            # NOTE written may be EMPTY here: a CoW merge that emptied
-            # every touched bucket still must commit (the manifest pops
-            # those buckets) — _apply_staged handles written=∅ by popping
-            t._apply_staged(
-                self.gen, self.written, self.touched, expected_seq=self.expected_seq
-            )
-            if not self.written:
-                t.fs.remove_dir(os.path.join(t.data_path, self.gen))
+        try:
+            if self.mode == "mor":
+                if not self.written:
+                    # MOR with an empty delta frame: nothing changed
+                    t.fs.remove_dir(os.path.join(t.data_path, self.gen))
+                    self.done = "published"
+                    return
+                t._commit_delta(self.gen, self.written, self.expected_seq)
+            else:
+                # NOTE written may be EMPTY here: a CoW merge that emptied
+                # every touched bucket still must commit (the manifest pops
+                # those buckets) — _apply_staged handles written=∅ by popping
+                t._apply_staged(
+                    self.gen, self.written, self.touched, expected_seq=self.expected_seq
+                )
+                if not self.written:
+                    t.fs.remove_dir(os.path.join(t.data_path, self.gen))
+        except BaseException:
+            # TERMINAL: the failure may have landed AFTER the atomic
+            # manifest swap (e.g. an I/O error in the post-commit history
+            # write), in which case the live manifest references this
+            # generation — abandon() must never delete it now. An
+            # unpublished leftover is swept by GC after the grace period.
+            self.done = "failed"
+            raise
         self.done = "published"
 
     def abandon(self) -> None:
-        """Drop the staging: the table never saw it. Idempotent."""
+        """Drop the staging: the table never saw it. Idempotent for
+        open/abandoned stagings; refuses published AND failed ones (a
+        failed publish may have committed — deleting its generation
+        would destroy live data; GC handles the unreferenced case)."""
         if self.done == "published":
             raise RuntimeError("staging already published — cannot abandon")
+        if self.done == "failed":
+            raise RuntimeError(
+                "publish failed mid-commit — the generation may be "
+                "referenced by the live manifest; leave it to GC"
+            )
         if self.gen is not None:
             self.table.fs.remove_dir(
                 os.path.join(self.table.data_path, self.gen)

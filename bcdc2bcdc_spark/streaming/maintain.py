@@ -4,7 +4,8 @@ The reference re-derives everything per run — a cron'd full pass keeps
 the destination, its id-lookup dicts and its reports fresh
 (``/root/reference/bin/runBCDC2BCDC.py`` is the scheduler's entry). The
 lake platform's derived artifacts (secondary indexes, SCD2 histories,
-incremental MVs, join views, replicas) are instead ADVANCED from the
+join views, replicas — anything exposing an incremental
+refresh()/advance()/sync()) are instead ADVANCED from the
 base table's change feed, each O(changes) per interval — so "keep
 everything fresh" is just: wake up whenever the base commits, call every
 artifact's refresh.
@@ -54,20 +55,31 @@ def stream_maintain(
     with ``.trigger(availableNow=True).start()`` for a drain-and-stop
     pass, or a processing-time trigger for continuous maintenance.
 
-    Batches carrying no rows (stream bookkeeping) are skipped; otherwise
-    every artifact advances to the base head it observes — artifacts are
-    individually crash-safe and idempotent, so at-least-once batch
-    delivery is exactly right."""
+    Artifacts are CAUGHT UP synchronously here (one refresh each) and
+    the stream then starts at the base table's CURRENT commit: the
+    artifacts track their own applied seqs, so feed rows for history
+    they already reflect are pure waste — anchoring a fresh
+    (un-checkpointed) query at commit 1 would compute the full
+    commit-1→head diff (O(table)) just to produce discarded wake-up
+    rows. Batches carrying no rows (stream bookkeeping) are skipped;
+    otherwise every artifact advances to the base head it observes —
+    artifacts are individually crash-safe and idempotent, so
+    at-least-once batch delivery is exactly right."""
     def tick(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         for a in artifacts:
             _advance(a)
 
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    head = HashBucketParquetTable(spark, base_path).commit_seq()
+    for a in artifacts:  # synchronous catch-up to `head` (or newer)
+        _advance(a)
     # the rows are only a wake-up signal: project a single column so the
     # stream never materializes feed payload twice
     w = (
-        stream_changes(spark, base_path)
+        stream_changes(spark, base_path, start_seq=head)
         .select("op")
         .writeStream.foreachBatch(tick)
     )
