@@ -74,6 +74,99 @@ def _bucket_expr(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+#: predicate DSL ops accepted by read_where / prune_buckets. A predicate is
+#: a conjunction: list of ``(col, op, value)`` triples ("in" takes a
+#: sequence, "between" an inclusive (lo, hi) pair). Deliberately tiny —
+#: it exists so the DRIVER can see the predicate structure and prune
+#: buckets before Spark ever plans the scan; anything it can't express
+#: belongs in a plain ``.filter()`` on top (which read_where callers get
+#: for free: the FULL predicate is always re-applied as a residual filter,
+#: so pruning is never load-bearing for correctness).
+_PRED_OPS = ("=", "<", "<=", ">", ">=", "in", "between")
+
+
+def compile_predicates(preds: Sequence[tuple]) -> F.Column:
+    """Compile the predicate DSL to one Catalyst Column (AND of all
+    triples). This is the residual filter read_where applies on top of
+    whatever buckets survived pruning — Catalyst additionally pushes it
+    into the parquet scan (row-group stats inside the surviving buckets)."""
+    out = None
+    for col, op, val in preds:
+        c = F.col(col)
+        if op == "=":
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "in":
+            e = c.isin(list(val))
+        elif op == "between":
+            lo, hi = val
+            e = (c >= F.lit(lo)) & (c <= F.lit(hi))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}; supported: {_PRED_OPS}")
+        out = e if out is None else (out & e)
+    return out if out is not None else F.lit(True)
+
+
+def _stats_entry_excludes(entry: dict | None, op: str, val) -> bool:
+    """True iff a (generation, bucket, column) min/max entry PROVES no row
+    in that directory can satisfy the triple. Missing entry, incomparable
+    types, NULL predicate value, or NaN bounds all return False — pruning
+    only ever errs toward reading more. min/max are over NON-NULL values
+    (nonnull==0 ⇒ nothing can match these ops, which never match NULL)."""
+    if entry is None or val is None:
+        return False
+    if int(entry.get("nonnull", 1)) == 0:
+        return True
+    m, mx = entry.get("min"), entry.get("max")
+    if m is None or mx is None:
+        return False
+    try:
+        if op == "=":
+            return bool(val < m or val > mx)
+        if op == "in":
+            vs = [v for v in val]
+            return all(v is not None and (v < m or v > mx) for v in vs)
+        if op == "<":
+            return bool(m >= val)
+        if op == "<=":
+            return bool(m > val)
+        if op == ">":
+            return bool(mx <= val)
+        if op == ">=":
+            return bool(mx < val)
+        if op == "between":
+            lo, hi = val
+            if lo is None or hi is None:
+                return False
+            return bool(mx < lo or m > hi)
+    except TypeError:
+        return False  # incomparable value/stat types — never exclude
+    return False
+
+
+#: column types whose min/max round-trip JSON losslessly and whose Python
+#: ordering matches Spark's (UTF-8 code-point order for strings, numeric
+#: order otherwise). Date/timestamp/decimal are deliberately out of scope —
+#: their JSON round-trip would need a codec and buys little here.
+_STATS_TYPES = (
+    T.StringType,
+    T.BooleanType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+)
+
+
 @dataclass
 class HashBucketParquetTable:
     """Parquet-backed upsert-able table, hash-bucketed by business key.
@@ -144,6 +237,24 @@ class HashBucketParquetTable:
     #: once the table exists the PERSISTED mode is authoritative (like
     #: ``n_buckets``); flip it later with ``set_write_mode()``.
     write_mode: str = "cow"
+    #: columns whose per-(generation, bucket) min/max are kept in the
+    #: manifest (Iceberg's per-file column bounds, at this backend's
+    #: pruning granularity). Seeds ``init()``; persisted thereafter (flip
+    #: with ``set_stats_cols()``). Honest scope note: under HASH bucketing
+    #: every bucket sees a uniform sample, so min/max on an uncorrelated
+    #: payload column spans its whole domain and prunes nothing — bounds
+    #: earn their keep on columns CLUSTERED with the bucket columns
+    #: (e.g. per-repo homogeneous attributes) and on MOR delta
+    #: generations, whose bounds cover only that commit's change set.
+    #: Equality/IN predicates on the bucket columns themselves are pruned
+    #: EXACTLY by hashing instead (see ``prune_buckets``) and need no
+    #: stats. Empty/None = keep no stats (zero write-path cost).
+    stats_cols: tuple[str, ...] | None = None
+    #: per-bucket column bounds computed for generations this handle wrote
+    #: but has not yet committed (WAP stagings park here until publish).
+    _pending_gen_stats: dict = field(
+        default_factory=dict, init=False, repr=False, compare=False
+    )
 
     @property
     def data_path(self) -> str:
@@ -177,9 +288,13 @@ class HashBucketParquetTable:
         with_digest = with_row_digest(
             df, [c for c in self.compare_cols if c in df.columns], "_digest", impl=digest_impl
         )
-        gen, written = self._write_generation(
-            with_digest.withColumn("_bucket", _bucket_expr(bcols, self.n_buckets))
-        )
+        self._initializing = True  # stats_cols resolve from the ctor, not a prior table
+        try:
+            gen, written = self._write_generation(
+                with_digest.withColumn("_bucket", _bucket_expr(bcols, self.n_buckets))
+            )
+        finally:
+            self._initializing = False
         compare = [c for c in self.compare_cols if c in df.columns]
         meta = {
             "key_cols": list(self.key_cols),
@@ -193,8 +308,11 @@ class HashBucketParquetTable:
             "buckets": {str(b): gen for b in written},
             "deltas": {},
             "write_mode": self._validated_mode(self.write_mode),
+            "stats_cols": list(self.stats_cols or ()),
             "commit_seq": 1,
         }
+        if gen in self._pending_gen_stats:
+            meta["stats"] = {gen: self._pending_gen_stats.pop(gen)}
         self.fs.write_json_atomic(self.meta_path, meta)
         # init is destructive: drop any previous table's version history
         self.fs.remove_dir(os.path.join(self.path, "_history"))
@@ -228,7 +346,82 @@ class HashBucketParquetTable:
             for d in self.fs.list_subdirs(out)
             if d.startswith("_bucket=")
         }
+        if written:
+            stats = self._collect_gen_stats(out)
+            if stats:
+                self._pending_gen_stats[gen] = stats
         return gen, written
+
+    def _collect_gen_stats(self, out: str) -> dict:
+        """Per-bucket min/max/nonnull for the declared stats columns over a
+        FRESHLY WRITTEN generation: one column-pruned aggregate over only
+        that generation's files — cost O(written bytes of the stats
+        columns), never a table scan, zero when no stats_cols are declared.
+        Collected rows are O(touched buckets), the same driver-side bound
+        as the write's own bucket listing."""
+        scols = self._stats_cols_resolved()
+        if not scols:
+            return {}
+        df = self.spark.read.parquet(out)
+        present = [
+            c
+            for c in scols
+            if c in df.columns and isinstance(df.schema[c].dataType, _STATS_TYPES)
+        ]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs += [
+                F.min(c).alias(f"__mn_{c}"),
+                F.max(c).alias(f"__mx_{c}"),
+                F.count(c).alias(f"__nn_{c}"),
+            ]
+        stats: dict = {}
+        for r in df.groupBy("_bucket").agg(*aggs).collect():
+            stats[str(int(r["_bucket"]))] = {
+                c: {
+                    "min": r[f"__mn_{c}"],
+                    "max": r[f"__mx_{c}"],
+                    "nonnull": int(r[f"__nn_{c}"]),
+                }
+                for c in present
+            }
+        return stats
+
+    def _stats_cols_resolved(self, meta: dict | None = None) -> list[str]:
+        """Authoritative stats column set: persisted once the table exists
+        (constructor arg only seeds init), like bucket_cols/write_mode.
+        During init() the constructor arg wins even over a prior table's
+        manifest (init overwrites all prior state)."""
+        if meta is None:
+            if getattr(self, "_initializing", False) or not self.exists():
+                meta = {}
+            else:
+                meta = self._meta()
+        return list(meta.get("stats_cols", list(self.stats_cols or ())))
+
+    def set_stats_cols(self, cols: Sequence[str]) -> None:
+        """Flip the persisted stats column set — a real commit, same
+        contract as ``set_write_mode``. Takes effect for generations
+        written AFTER the flip; existing generations carry whatever bounds
+        they were written with (a gen with no entry for a column is simply
+        never pruned by it), so enabling stats on a live table is safe and
+        instant, and bounds backfill naturally as buckets churn (or all at
+        once via ``compact()``/``rebucket``)."""
+        self._check_writable()
+        cols = list(cols or ())
+        base_seq = int(self._meta().get("commit_seq", 0))
+        meta = self._meta()
+        if int(meta.get("commit_seq", 0)) != base_seq:
+            raise ConcurrentWriteError(
+                "a commit landed during set_stats_cols — re-run against the "
+                "new table state"
+            )
+        if meta.get("stats_cols", []) == cols:
+            return
+        meta["stats_cols"] = cols
+        self._finalize_commit(meta, base_seq + 1, self._referenced_gens(meta))
 
     def _sweep_unreferenced_generations(
         self, expired_now: Sequence[str] = ()
@@ -560,6 +753,123 @@ class HashBucketParquetTable:
             F.broadcast(keys.select(*self.key_cols).distinct()),
             list(self.key_cols),
         ).drop("_bucket", "_digest")
+
+    #: hash pruning enumerates the cross product of per-bucket-column
+    #: candidate value sets; past this many tuples the IN-list is no longer
+    #: "a few directories" and the full-manifest scan with the residual
+    #: filter pushed down is the better plan anyway.
+    _MAX_HASH_PRUNE_TUPLES = 256
+
+    def _hash_pruned_buckets(self, preds: Sequence[tuple], meta: dict) -> set[int] | None:
+        """EXACT bucket pruning from equality/IN predicates over the bucket
+        columns (the Iceberg ``bucket(N, col)`` partition-pruning analog):
+        when a conjunction pins every bucket column to a finite candidate
+        set, the only directories that can hold matching rows are the
+        hashes of the candidate tuples. Hashing goes through the SAME
+        ``_bucket_expr`` over a literal DataFrame (one driver-side job over
+        O(candidates) rows), so Python never re-implements xxhash64.
+        Returns None when the predicates don't pin all bucket columns."""
+        bcols = self._bucket_cols_resolved(meta)
+        cand: dict[str, set] = {}
+        for col, op, val in preds:
+            if col not in bcols:
+                continue
+            if op == "=":
+                vs = {val}
+            elif op == "in":
+                vs = set(val)
+            else:
+                continue
+            if None in vs:
+                return None  # hashing NULL never matches an = / IN row anyway,
+                # but a NULL candidate means the caller's intent is unclear —
+                # fall back to no hash pruning rather than guess
+            cand[col] = cand[col] & vs if col in cand else vs
+        if set(cand) != set(bcols):
+            return None
+        import itertools
+
+        tuples = list(itertools.product(*[sorted(cand[c], key=repr) for c in bcols]))
+        if not tuples:
+            return set()
+        if len(tuples) > self._MAX_HASH_PRUNE_TUPLES:
+            return None
+        types = {f.name: f.dataType for f in T.StructType.fromJson(meta["schema"]).fields}
+        schema = T.StructType([T.StructField(c, types[c], True) for c in bcols])
+        probe = self.spark.createDataFrame(tuples, schema).withColumn(
+            "_bucket", _bucket_expr(bcols, self._n_buckets(meta))
+        )
+        return {int(r["_bucket"]) for r in probe.select("_bucket").distinct().collect()}
+
+    def prune_buckets(
+        self, preds: Sequence[tuple], meta: dict | None = None
+    ) -> list[int] | None:
+        """Candidate buckets for a predicate-DSL conjunction, from manifest
+        metadata only (no data read, no Spark job except the O(candidates)
+        literal hash when bucket columns are pinned). Two prunings compose:
+
+        * exact hash pruning when equality/IN predicates pin every bucket
+          column (``_hash_pruned_buckets``);
+        * conservative min/max bounds pruning per stats column: a bucket is
+          excluded only when EVERY generation contributing rows to it (base
+          + all outstanding MOR deltas) has a bounds entry proving no row
+          matches. Any missing entry keeps the bucket — after schema
+          evolution or a ``set_stats_cols`` flip, unannotated generations
+          simply stay readable.
+
+        Returns None when nothing prunes (read everything); correctness
+        never depends on the result because every caller re-applies the
+        full predicate as a residual filter."""
+        if meta is None:
+            meta = self._meta()
+        hashed = self._hash_pruned_buckets(preds, meta)
+        bmap = meta.get("buckets", {})
+        dmap = meta.get("deltas", {})
+        live = sorted({int(b) for b in bmap} | {int(b) for b in dmap})
+        stats = meta.get("stats", {})
+        scols = set(self._stats_cols_resolved(meta))
+        usable = [p for p in preds if p[0] in scols] if stats else []
+        if hashed is None and not usable:
+            return None
+        keep = []
+        for b in live:
+            if hashed is not None and b not in hashed:
+                continue
+            gens = []
+            if str(b) in bmap:
+                gens.append(bmap[str(b)])
+            gens += [e["gen"] for e in dmap.get(str(b), [])]
+            excluded = any(
+                all(
+                    _stats_entry_excludes(
+                        stats.get(g, {}).get(str(b), {}).get(col), op, val
+                    )
+                    for g in gens
+                )
+                for col, op, val in usable
+            )
+            if not excluded:
+                keep.append(b)
+        return keep
+
+    def read_where(self, preds: Sequence[tuple]) -> DataFrame:
+        """Predicate scan with driver-side pruning: resolve the predicate
+        DSL (see ``_PRED_OPS``) against the manifest, read ONLY the
+        surviving buckets' generation dirs, and re-apply the full predicate
+        as a residual Catalyst filter (pushed into the surviving parquet
+        scans — pruning is a fast path, never a correctness dependency).
+        The 100 TB shape: ``[("repo", "=", "x")]`` on a table bucketed by
+        ``("repo",)`` reads 1/n_buckets of the table's directories before
+        Spark plans anything; the reference's equivalent is filtering a
+        full in-memory dump (/root/reference/bcdc2bcdc/CKANData.py:1010-1050
+        set-ops over complete package lists)."""
+        meta = self._meta()
+        pruned = self.prune_buckets(preds, meta)
+        return (
+            self._read_merged_raw(buckets=pruned, meta=meta)
+            .drop("_bucket", "_digest")
+            .filter(compile_predicates(preds))
+        )
 
     def commit_seq(self) -> int:
         """The table's current commit sequence number (0 = just-initialized)."""
@@ -895,6 +1205,15 @@ class HashBucketParquetTable:
         # and at scale cache memory is better spent on shuffle.
         self._commit_generation(merged, touched, expected_seq=base_seq)
 
+    def _dml_matched(self, predicate) -> DataFrame:
+        """Resolve a DML predicate — Column, SQL string, or the predicate
+        DSL — to the matched-row scan. DSL predicates go through
+        ``read_where`` and get its driver-side bucket pruning for free."""
+        if isinstance(predicate, (list, tuple)):
+            return self.read_where(predicate)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self.read().where(pred)
+
     def delete_where(self, predicate, digest_impl: str = "jvm") -> int:
         """Predicate DELETE (Delta/Iceberg ``DELETE WHERE``), compiled to
         ordinary keyed DELETE change events and committed through
@@ -910,13 +1229,16 @@ class HashBucketParquetTable:
         Because the deletion IS a change commit, every feed consumer
         (incremental MVs, secondary indexes, SCD2 history, replication)
         observes it with zero special cases. Returns the victim count;
-        zero victims ⇒ no commit at all."""
-        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        zero victims ⇒ no commit at all.
+
+        ``predicate`` is a Column, a SQL string, or the predicate DSL
+        (list of ``(col, op, value)`` triples) — the DSL form additionally
+        bucket-prunes the victim scan (``read_where``): a repo-pinned
+        GDPR erasure on a repo-bucketed table reads ONE bucket."""
         schema = self.data_schema()
         payload = [f for f in schema.fields if f.name not in self.key_cols]
         changes = (
-            self.read()
-            .where(pred)
+            self._dml_matched(predicate)
             .select(
                 *self.key_cols,
                 *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
@@ -950,7 +1272,6 @@ class HashBucketParquetTable:
         effectively-updated row count."""
         if not assignments:
             raise ValueError("update_where needs at least one assignment")
-        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         schema = self.data_schema()
         names = {f.name for f in schema.fields}
         bad = sorted(set(assignments) & set(self.key_cols))
@@ -967,7 +1288,7 @@ class HashBucketParquetTable:
             c: (F.expr(e) if isinstance(e, str) else e).cast(types[c])
             for c, e in assignments.items()
         }
-        matched = self.read().where(pred)
+        matched = self._dml_matched(predicate)
         changed = None
         for c, expr in new.items():
             neq = ~expr.eqNullSafe(F.col(c))
@@ -1233,6 +1554,21 @@ class HashBucketParquetTable:
         expired = [g for g, s in retired.items() if seq >= int(s) + self.retain_generations]
         for g in expired:
             retired.pop(g, None)
+        # column-bounds bookkeeping rides the commit: bounds for generations
+        # this handle wrote land in the manifest the moment their gen is
+        # referenced (stats for a still-unpublished WAP staging stay pending);
+        # bounds whose generation left both the live map and the retention
+        # window leave with it, so the manifest stays O(live generations).
+        refs = self._referenced_gens(meta)
+        if self._pending_gen_stats or meta.get("stats"):
+            stats = meta.setdefault("stats", {})
+            for g in [g for g in self._pending_gen_stats if g in refs]:
+                stats[g] = self._pending_gen_stats.pop(g)
+            keep = refs | set(meta.get("retired", {}))
+            for g in [g for g in stats if g not in keep]:
+                del stats[g]
+            if not stats:
+                meta.pop("stats", None)
         self._write_meta(meta)  # ← ATOMIC COMMIT POINT
         # manifest history: one frozen manifest per commit (time travel /
         # version diff); readable while its generations survive retention

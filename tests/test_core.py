@@ -180,6 +180,18 @@ def test_snapshot_diff_alternate_key(spark):
     assert got_alt == got_def  # same logical delta through either key
 
 
+def test_snapshot_diff_rejects_op_payload(spark):
+    """A payload column named `op` collides with the diff's change marker;
+    the engine must fail with a clear contract error instead of Catalyst's
+    unresolved-column exception three projections deep (regression: caught
+    by the round-4 library drive)."""
+    import pytest
+
+    src, dest, _ = gen_snapshot_pair(spark, n_keys=50, seed=3)
+    with pytest.raises(ValueError, match="payload column named 'op'"):
+        snapshot_diff(src.withColumn("op", F.lit("ADD")), dest.withColumn("op", F.lit("ADD")))
+
+
 def test_pipeline_applies_evolved_events(spark, tmp_path):
     """Old-schema events (int32 seq, missing size) reconciled via
     mapInArrow flow through the pipeline end-to-end (M7)."""
