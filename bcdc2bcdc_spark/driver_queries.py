@@ -4467,6 +4467,64 @@ QUERIES["join_view_incremental"] = q_join_view_incremental
 ORACLES["join_view_incremental"] = SQL_JOIN_VIEW_INCREMENTAL
 
 
+def q_lake_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pruned lake scan hard-signal row (sources/lake.py
+    read_where): the replayed state stored in a repo-bucketed table with
+    manifest column bounds on `content`, scanned through the predicate DSL
+    ``repo IN (...) AND content BETWEEN ...``. The repo IN-list pins the
+    bucket column, so hash pruning resolves the ONLY directories that can
+    hold matching rows before Spark plans anything (asserted in-query:
+    ≤ 3 of 16 buckets read); the full predicate is re-applied as the
+    residual Catalyst filter, so the result must equal the SQL replay
+    state under the same WHERE — pruning is a fast path, never a
+    correctness dependency. The reference's equivalent predicate fetch
+    filters a complete in-memory dump
+    (/root/reference/bcdc2bcdc/CKANData.py:1010-1050)."""
+    import shutil
+    import tempfile
+
+    from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
+
+    t = _feed_lake(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_pruned_")
+    out = _session_tmp("lake_pruned_scan")
+    try:
+        pt = HashBucketParquetTable(
+            spark,
+            f"{work}/t",
+            key_cols=("repo", "path"),
+            bucket_cols=("repo",),
+            n_buckets=16,
+            stats_cols=("content",),
+        )
+        pt.init(t.read())
+        preds = [
+            ("repo", "in", ("r3", "r11", "r17")),
+            ("content", "between", ("c10", "c50")),
+        ]
+        pruned = pt.prune_buckets(preds)
+        assert pruned is not None and len(pruned) <= 3, pruned
+        (
+            pt.read_where(preds)
+            .select("repo", "path", "lang", "content")
+            .write.mode("overwrite")
+            .parquet(f"{out}/result")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.read.parquet(f"{out}/result")
+
+
+SQL_LAKE_PRUNED_SCAN = f"""
+    SELECT repo, path, lang, content
+    FROM ({SNAP_SQL.format(ev=EV_SQL, where="")})
+    WHERE repo IN ('r3', 'r11', 'r17') AND content BETWEEN 'c10' AND 'c50'
+"""
+
+QUERIES["lake_pruned_scan"] = q_lake_pruned_scan
+ORACLES["lake_pruned_scan"] = SQL_LAKE_PRUNED_SCAN
+
+
 # ---------------------------------------------------------------------------
 # apply the scored window LAST — every query above is registered by now
 # ---------------------------------------------------------------------------
