@@ -250,6 +250,22 @@ class HashBucketParquetTable:
     #: EXACTLY by hashing instead (see ``prune_buckets``) and need no
     #: stats. Empty/None = keep no stats (zero write-path cost).
     stats_cols: tuple[str, ...] | None = None
+    #: columns each generation's files are SORTED by within their bucket
+    #: (Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order analog, single
+    #: dimension). Default None = sort by key_cols (point-lookup row-group
+    #: pruning). Declaring cluster_cols makes parquet row-group min/max
+    #: stats SELECTIVE for range/equality predicates on those columns —
+    #: the residual filter Catalyst pushes into the scan then skips row
+    #: groups inside every bucket, which is where pruning has to come from
+    #: for non-bucket columns (a hash bucket sees a uniform sample, so
+    #: per-BUCKET bounds on an uncorrelated column never prune; per-ROW-
+    #: GROUP bounds on a sorted column always do). Key columns are
+    #: appended as tiebreak, but lookups lose their leading-key row-group
+    #: locality — the same tradeoff ZORDER makes. Persisted like
+    #: stats_cols; flip with ``set_cluster_cols`` (affects generations
+    #: written after the flip; rewrite everything via ``rebucket`` to
+    #: re-cluster history).
+    cluster_cols: tuple[str, ...] | None = None
     #: per-bucket column bounds computed for generations this handle wrote
     #: but has not yet committed (WAP stagings park here until publish).
     _pending_gen_stats: dict = field(
@@ -309,6 +325,7 @@ class HashBucketParquetTable:
             "deltas": {},
             "write_mode": self._validated_mode(self.write_mode),
             "stats_cols": list(self.stats_cols or ()),
+            "cluster_cols": list(self.cluster_cols or ()),
             "commit_seq": 1,
         }
         if gen in self._pending_gen_stats:
@@ -330,14 +347,23 @@ class HashBucketParquetTable:
 
         gen = f"gen-{_uuid.uuid4().hex[:12]}"
         out = os.path.join(self.data_path, gen)
+        # sortWithinPartitions: rows inside each bucket file are ordered by
+        # the cluster columns (key_cols when none are declared, keys as
+        # tiebreak otherwise), so parquet row-group min/max stats on those
+        # columns become selective — point lookups / clustered-range scans
+        # skip row groups inside the buckets they read (free at write
+        # time, the sort rides the same shuffle)
+        ccols = self._cluster_cols_resolved()
+        order = [c for c in ccols if c in df_with_bucket.columns] + [
+            k for k in self.key_cols if k not in ccols
+        ]
         (
-            # sortWithinPartitions: rows inside each bucket file are
-            # key-ordered, so parquet row-group min/max stats on the key
-            # columns become selective — point lookups skip row groups
-            # inside the one bucket they read (free at write time, the
-            # sort rides the same shuffle)
+            # `_bucket` must LEAD the sort: partitionBy's writer requires
+            # task rows ordered by the partition columns and would insert
+            # its own (non-stable) sort on `_bucket` alone otherwise,
+            # destroying the secondary order the row-group stats depend on
             df_with_bucket.repartition("_bucket")
-            .sortWithinPartitions(*self.key_cols)
+            .sortWithinPartitions("_bucket", *order)
             .write.partitionBy("_bucket")
             .parquet(out)
         )
@@ -421,6 +447,37 @@ class HashBucketParquetTable:
         if meta.get("stats_cols", []) == cols:
             return
         meta["stats_cols"] = cols
+        self._finalize_commit(meta, base_seq + 1, self._referenced_gens(meta))
+
+    def _cluster_cols_resolved(self, meta: dict | None = None) -> list[str]:
+        """Authoritative cluster column set — same resolution contract as
+        ``_stats_cols_resolved`` (persisted wins, ctor seeds init)."""
+        if meta is None:
+            if getattr(self, "_initializing", False) or not self.exists():
+                meta = {}
+            else:
+                meta = self._meta()
+        return list(meta.get("cluster_cols", list(self.cluster_cols or ())))
+
+    def set_cluster_cols(self, cols: Sequence[str]) -> None:
+        """Flip the persisted cluster column set — a real commit, same
+        contract as ``set_stats_cols``. Affects generations written after
+        the flip only: clustering is a physical-layout property of each
+        immutable generation, so history keeps the layout it was written
+        with (still correct, just un-clustered); rewrite it all at once
+        with ``rebucket`` when the new layout should apply retroactively."""
+        self._check_writable()
+        cols = list(cols or ())
+        base_seq = int(self._meta().get("commit_seq", 0))
+        meta = self._meta()
+        if int(meta.get("commit_seq", 0)) != base_seq:
+            raise ConcurrentWriteError(
+                "a commit landed during set_cluster_cols — re-run against "
+                "the new table state"
+            )
+        if meta.get("cluster_cols", []) == cols:
+            return
+        meta["cluster_cols"] = cols
         self._finalize_commit(meta, base_seq + 1, self._referenced_gens(meta))
 
     def _sweep_unreferenced_generations(

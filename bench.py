@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dml_delete_update",
     "restore_rollback",
     "join_view_incremental",
+    "lake_pruned_scan",
 ]
 
 
