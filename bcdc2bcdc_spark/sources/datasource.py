@@ -41,8 +41,26 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
+
+#: Filter class → predicate-DSL op (sources/lake.py). Only these translate;
+#: anything else stays Spark-side (pushFilters returns every filter as
+#: residual anyway — pruning is a fast path, never load-bearing).
+_FILTER_OPS = {
+    EqualTo: "=",
+    In: "in",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
 
 OP_DELETE = "DELETE"  # schema.py constant, inlined: executors import nothing heavy
 
@@ -363,12 +381,53 @@ class LakeSnapshotReader(DataSourceReader):
         # so no-op suppression matches the JVM read exactly
         compare = meta.get("compare_cols", [])
         self.redigest = compare if meta.get("digest_cols", compare) != compare else None
-        self.specs = [
-            _bucket_spec(meta, path, b)
-            for b in sorted(
-                set(meta.get("buckets", {})) | set(meta.get("deltas", {})), key=int
-            )
-        ]
+        self._meta = meta  # frozen manifest — pushFilters prunes against it
+        self._buckets = sorted(
+            set(meta.get("buckets", {})) | set(meta.get("deltas", {})), key=int
+        )
+        self.specs = [_bucket_spec(meta, path, b) for b in self._buckets]
+
+    def pushFilters(self, filters):
+        """Manifest-bounds partition pruning (PySpark 4.1 filter pushdown):
+        translate the supported conjuncts to the predicate DSL and drop
+        every bucket whose column bounds PROVE no row can match
+        (lake._bounds_exclude_bucket — pure metadata, no Spark, exactly
+        what this planning worker has). ALL filters are returned as
+        residual: pruning here is conservative (bucket granularity), so
+        Spark must still re-apply the full predicate to the folded rows —
+        the same never-load-bearing contract as ``read_where``.
+
+        Hash pruning on the bucket columns is deliberately absent on this
+        path: it needs the engine's own ``_bucket_expr`` (a Spark job over
+        the candidate tuples), and no SparkSession exists in a data-source
+        planning worker — re-implementing xxhash64 in Python would fork
+        the hash definition. Use ``HashBucketParquetTable.read_where`` /
+        ``lookup`` when bucket-column pruning matters."""
+        from bcdc2bcdc_spark.sources.lake import (
+            _bounds_exclude_bucket,
+            _usable_bounds_preds,
+        )
+
+        preds = []
+        for flt in filters:
+            op = _FILTER_OPS.get(type(flt))
+            attr = getattr(flt, "attribute", ())
+            if op is None or len(attr) != 1 or attr[0] not in self.columns:
+                continue
+            val = list(flt.value) if op == "in" else flt.value
+            if val is None:
+                continue
+            preds.append((attr[0], op, val))
+        usable = _usable_bounds_preds(self._meta, preds)
+        if usable:
+            keep = [
+                (b, s)
+                for b, s in zip(self._buckets, self.specs)
+                if not _bounds_exclude_bucket(self._meta, int(b), usable)
+            ]
+            self._buckets = [b for b, _ in keep]
+            self.specs = [s for _, s in keep]
+        return filters
 
     def partitions(self):
         return [_BucketPartition(s) for s in self.specs] or [_BucketPartition({})]
@@ -497,6 +556,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
 
 
 def register_lake_source(spark: SparkSession) -> None:
+    # a reader that implements pushFilters is REJECTED outright when the
+    # (runtime-settable, default-false) pushdown conf is off — enabling it
+    # at registration keeps every existing cdclake read working and turns
+    # the manifest-bounds partition pruning on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakeChangeFeedDataSource)
 
 

@@ -151,6 +151,49 @@ def _stats_entry_excludes(entry: dict | None, op: str, val) -> bool:
     return False
 
 
+def _live_buckets(meta: dict) -> list[int]:
+    """Bucket ids holding any rows (base map ∪ outstanding MOR deltas)."""
+    return sorted(
+        {int(b) for b in meta.get("buckets", {})}
+        | {int(b) for b in meta.get("deltas", {})}
+    )
+
+
+def _usable_bounds_preds(meta: dict, preds: Sequence[tuple]) -> list[tuple]:
+    """The subset of a predicate conjunction that manifest column bounds
+    can act on — pure metadata, no Spark, usable from the Python data
+    source planning worker (sources/datasource.py pushFilters) as well as
+    the driver."""
+    if not meta.get("stats"):
+        return []
+    scols = set(meta.get("stats_cols", []))
+    return [p for p in preds if p[0] in scols]
+
+
+def _bounds_exclude_bucket(meta: dict, b: int, usable: Sequence[tuple]) -> bool:
+    """True iff the manifest PROVES bucket ``b`` holds no matching row: for
+    some predicate triple, EVERY generation contributing rows to the bucket
+    (base + all outstanding MOR deltas) has a bounds entry excluding it.
+    Any missing entry keeps the bucket — correct after schema evolution or
+    a ``set_stats_cols`` flip. Sound under MOR merge: a merged row's
+    payload always comes from SOME raw row of the bucket, so if no raw row
+    can match, no merged row can."""
+    if not usable:
+        return False
+    stats = meta.get("stats", {})
+    gens = []
+    if str(b) in meta.get("buckets", {}):
+        gens.append(meta["buckets"][str(b)])
+    gens += [e["gen"] for e in meta.get("deltas", {}).get(str(b), [])]
+    return any(
+        all(
+            _stats_entry_excludes(stats.get(g, {}).get(str(b), {}).get(col), op, val)
+            for g in gens
+        )
+        for col, op, val in usable
+    )
+
+
 #: column types whose min/max round-trip JSON losslessly and whose Python
 #: ordering matches Spark's (UTF-8 code-point order for strings, numeric
 #: order otherwise). Date/timestamp/decimal are deliberately out of scope —
@@ -880,32 +923,14 @@ class HashBucketParquetTable:
         if meta is None:
             meta = self._meta()
         hashed = self._hash_pruned_buckets(preds, meta)
-        bmap = meta.get("buckets", {})
-        dmap = meta.get("deltas", {})
-        live = sorted({int(b) for b in bmap} | {int(b) for b in dmap})
-        stats = meta.get("stats", {})
-        scols = set(self._stats_cols_resolved(meta))
-        usable = [p for p in preds if p[0] in scols] if stats else []
+        usable = _usable_bounds_preds(meta, preds)
         if hashed is None and not usable:
             return None
         keep = []
-        for b in live:
+        for b in _live_buckets(meta):
             if hashed is not None and b not in hashed:
                 continue
-            gens = []
-            if str(b) in bmap:
-                gens.append(bmap[str(b)])
-            gens += [e["gen"] for e in dmap.get(str(b), [])]
-            excluded = any(
-                all(
-                    _stats_entry_excludes(
-                        stats.get(g, {}).get(str(b), {}).get(col), op, val
-                    )
-                    for g in gens
-                )
-                for col, op, val in usable
-            )
-            if not excluded:
+            if not _bounds_exclude_bucket(meta, b, usable):
                 keep.append(b)
         return keep
 
