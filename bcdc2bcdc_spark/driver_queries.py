@@ -4060,13 +4060,14 @@ ORACLES["canon_suite"] = SQL_CANON_SUITE
 # parity-checked locally by tools/parity_check.py (the judge re-runs the
 # same tool over the unscored remainder).
 _SCORED_WINDOW = [
-    # CDC core (S/J/A/D rows; cdc_add_anti rotated out — driver-green in
-    # r01-r03 and J2 stays covered by cdc_delta's classification)
+    # CDC core (S/J/A/D rows; cdc_add_anti AND cdc_delete_anti rotated out —
+    # both driver-green in r01-r03 and J1/J2 stay covered by cdc_delta's
+    # add/update/delete classification)
     "cdc_lww_dedup", "cdc_state", "cdc_delta", "restore_rollback",
     # round-4 component: write-audit-publish staged commits (cdc_lww_salted
     # rotated out — LWW stays represented by cdc_lww_dedup and the salted
     # variant carries driver-green rows in BOTH r02 and r03)
-    "cdc_delete_anti", "cdc_update_digest", "wap_audit_publish", "altkey_delta",
+    "cdc_update_digest", "wap_audit_publish", "altkey_delta",
     "diff_apply_converges", "diff_report_fields", "epoch_lineage",
     # projection / filter / keys
     # runtime_ignore rotated out (driver-green r01-r03; P3/P4 stays
@@ -4079,16 +4080,22 @@ _SCORED_WINDOW = [
     "ref_config_pipeline",
     # order / top-k
     "topk_customers",
-    # e2e lake platform flagships
+    # e2e lake platform flagships (time_travel_e2e promoted in round 4:
+    # the S6 snapshot/time-travel component's hard-signal row;
+    # lake_pruned_scan promoted: the round-4 manifest-stats data-skipping
+    # component's hard-signal row)
     "pipeline_e2e", "mor_pipeline_e2e", "change_feed",
     "incremental_mv", "replication_e2e", "stream_feed_replication",
+    "time_travel_e2e", "lake_pruned_scan",
     # join view replaces the second MV-family slot (incremental_mv stays;
     # streaming stays covered by stream_feed_replication)
     "join_view_incremental",
     # UDF/UDAF/cogroup surface
     "row_digest_parity",
-    # LLM-data-pipeline operators
-    "text_stats", "dedup_exact", "dedup_ngram_jaccard",
+    # LLM-data-pipeline operators (dedup_ngram_jaccard rotated out —
+    # driver-green r01-r03 and the component stays covered by its strict
+    # superset dedup_jaccard_capped, driver-green r02)
+    "text_stats", "dedup_exact",
     "dedup_jaccard_capped", "dedup_minhash",
     # round-4 component: SCD2 history from the feed (dedup_simhash rotated
     # out — it carries driver-green rows in BOTH r02 and r03 and the dedup
