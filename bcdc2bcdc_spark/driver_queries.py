@@ -4062,39 +4062,63 @@ ORACLES["canon_suite"] = SQL_CANON_SUITE
 _SCORED_WINDOW = [
     # CDC core (S/J/A/D rows; cdc_add_anti AND cdc_delete_anti rotated out —
     # both driver-green in r01-r03 and J1/J2 stay covered by cdc_delta's
-    # add/update/delete classification)
+    # add/update/delete classification. Round 5: cdc_update_digest rotated
+    # out — driver-green r01-r04 (4 rounds) and J3's update set is the
+    # digest≠-intersection sub-classification scored INSIDE cdc_delta)
     "cdc_lww_dedup", "cdc_state", "cdc_delta", "restore_rollback",
     # round-4 component: write-audit-publish staged commits (cdc_lww_salted
     # rotated out — LWW stays represented by cdc_lww_dedup and the salted
     # variant carries driver-green rows in BOTH r02 and r03)
-    "cdc_update_digest", "wap_audit_publish", "altkey_delta",
+    "wap_audit_publish", "altkey_delta",
     "diff_apply_converges", "diff_report_fields", "epoch_lineage",
     # projection / filter / keys
     # runtime_ignore rotated out (driver-green r01-r03; P3/P4 stays
-    # covered by ignore_filter) for round-4 predicate DML
+    # covered by ignore_filter) for round-4 predicate DML.
+    # Round 5: fk_remap rotated out — driver-green r01-r04 (4 rounds);
+    # J6/J7 stay scored via multi_entity_integrity (the multi-entity FK
+    # remap superset) and secondary_index_lookup (the J6 keyed lookup row)
     "ignore_filter", "dml_delete_update", "null_key_skip", "dup_altkey",
     "nested_project_filter", "nested_remap", "backfill_join",
-    "section_digests", "fk_remap", "multi_entity_integrity",
+    "section_digests", "multi_entity_integrity",
     # transforms
     "required_defaults", "stringify_json", "reconcile_types", "canon_suite",
     "ref_config_pipeline",
     # order / top-k
     "topk_customers",
-    # e2e lake platform flagships (time_travel_e2e promoted in round 4:
-    # the S6 snapshot/time-travel component's hard-signal row;
-    # lake_pruned_scan promoted: the round-4 manifest-stats data-skipping
-    # component's hard-signal row)
-    "pipeline_e2e", "mor_pipeline_e2e", "change_feed",
-    "incremental_mv", "replication_e2e", "stream_feed_replication",
+    # e2e lake platform flagships. Round-5 rotations (VERDICT r4 task 2:
+    # give every never-driver-scored capability its hard-signal row):
+    # * maintenance_e2e IN — compaction + rebucket INSIDE a live pipeline;
+    #   runs pipeline_e2e's exact two-epoch replay under the IDENTICAL
+    #   oracle (SQL_PIPELINE_E2E) plus maintenance between the epochs.
+    #   pipeline_e2e itself stays scored right beside it.
+    # * mor_compact_e2e IN / mor_pipeline_e2e OUT — same _run_mor_pipeline
+    #   with compact=True and the identical oracle: a strict superset
+    #   (MOR write path + compaction equivalence in one row);
+    #   mor_pipeline_e2e is driver-green r04.
+    # * multi_replication_e2e IN / replication_e2e OUT — multi-table
+    #   checkpointed replication with FK rewrite through the dest parent
+    #   is a strict superset of the single-table row (driver-green r04).
+    # * stream_incremental_mv IN — the SAME IncrementalAggregate contract
+    #   as incremental_mv (same oracle) maintained as a standing stream;
+    #   incremental_mv stays scored (batch + streaming forms both gated).
+    "pipeline_e2e", "maintenance_e2e", "mor_compact_e2e", "change_feed",
+    "incremental_mv", "stream_incremental_mv", "multi_replication_e2e",
+    "stream_feed_replication",
     "time_travel_e2e", "lake_pruned_scan",
-    # join view replaces the second MV-family slot (incremental_mv stays;
-    # streaming stays covered by stream_feed_replication)
+    # join view replaces the second MV-family slot
+    # (streaming stays covered by stream_feed_replication)
     "join_view_incremental",
     # UDF/UDAF/cogroup surface
     "row_digest_parity",
     # LLM-data-pipeline operators (dedup_ngram_jaccard rotated out —
     # driver-green r01-r03 and the component stays covered by its strict
-    # superset dedup_jaccard_capped, driver-green r02)
+    # superset dedup_jaccard_capped, driver-green r02.
+    # Round 5: corpus_pipeline IN / sample_mixture OUT — the composed
+    # corpus row chains the SAME stratified_sample operator (quality →
+    # mixture sample → MinHash-LSH → CC dedup → decontaminate) and its
+    # chained oracle re-checks every membership decision of the sampling
+    # stage; sample_mixture is driver-green r04 and train_eval_split
+    # stays parity-checked beyond the window)
     "text_stats", "dedup_exact",
     "dedup_jaccard_capped", "dedup_minhash",
     # round-4 component: SCD2 history from the feed (dedup_simhash rotated
@@ -4102,7 +4126,7 @@ _SCORED_WINDOW = [
     # family keeps six scored representatives)
     "scd2_history",
     "embedding_near_dups", "dedup_clusters",
-    "semantic_decontam", "decontaminate_keep", "sample_mixture",
+    "semantic_decontam", "decontaminate_keep", "corpus_pipeline",
     "pack_sequences", "multimodal_features", "ann_topk",
     # round-4 component: feed-refreshed alternate-key index (ann_ivf
     # rotated out — ANN stays represented by ann_topk and ann_ivf carries
