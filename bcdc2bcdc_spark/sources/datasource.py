@@ -104,6 +104,55 @@ def _read_dir(path: str, columns: list[str]):
     return df[columns]
 
 
+#: default per-task ceiling on one bucket's LIVE parquet bytes
+#: (base + outstanding deltas, compressed on-disk size). A cdclake task
+#: materializes its whole bucket in pandas before folding, so — unlike the
+#: JVM read path, whose fold is a streaming hash aggregate — its peak
+#: memory is O(bucket bytes × decompression ratio). 2 GiB compressed is a
+#: conservative fit for the default 4-8 GiB Python-worker budget; override
+#: per read with .option("maxbucketbytes", n) — 0 disables the guard.
+DEFAULT_MAX_BUCKET_BYTES = 2 * 1024**3
+
+
+class BucketTooLargeError(RuntimeError):
+    """A bucket's live bytes exceed the per-task materialization ceiling."""
+
+
+def _dir_bytes(path: str | None) -> int:
+    if not path or not os.path.isdir(path):
+        return 0
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def _guard_bucket_bytes(specs: list[dict], max_bytes: int) -> None:
+    """Refuse — BEFORE allocating anything — to materialize a bucket whose
+    live on-disk bytes exceed the ceiling, pointing at the actual fixes.
+    Runs executor-side per task: O(files in this bucket) stat calls, no
+    data read. This is the table_stats-per-bucket-bytes check pushed to
+    the one place it cannot be skipped (the 100 TB failure mode is a
+    silent worker OOM mid-scan; this turns it into a planned, actionable
+    error)."""
+    if max_bytes <= 0:
+        return
+    total = sum(
+        _dir_bytes(s.get("base")) + sum(_dir_bytes(d["dir"]) for d in s.get("deltas", []))
+        for s in specs
+    )
+    if total > max_bytes:
+        raise BucketTooLargeError(
+            f"cdclake: bucket holds {total:,} live parquet bytes, over the "
+            f"per-task materialization ceiling of {max_bytes:,} (the Python "
+            "source folds a whole bucket in pandas). Fixes: rebucket() the "
+            "table to more buckets, compact_deltas() to shed MOR overlap, "
+            "use the JVM read path (HashBucketParquetTable.read), or raise "
+            ".option('maxbucketbytes', n) / 0 to disable."
+        )
+
+
 def _load_versions(spec: dict, columns: list[str]):
     """One version's rows for one bucket: base dir at seq -1 plus delta
     dirs at their commit seqs, concatenated with a ``_seq`` column."""
@@ -352,8 +401,18 @@ class LakeChangeFeedDataSource(DataSource):
             ]
         return T.StructType(fields)
 
+    def _max_bucket_bytes(self) -> int:
+        return int(
+            self.options.get("maxbucketbytes", str(DEFAULT_MAX_BUCKET_BYTES))
+        )
+
     def reader(self, schema: T.StructType) -> "LakeSnapshotReader":
-        return LakeSnapshotReader(self._table_path(), schema, self._frozen_meta())
+        return LakeSnapshotReader(
+            self._table_path(),
+            schema,
+            self._frozen_meta(),
+            max_bucket_bytes=self._max_bucket_bytes(),
+        )
 
     def streamReader(self, schema: T.StructType) -> "LakeFeedStreamReader":
         return LakeFeedStreamReader(
@@ -362,15 +421,21 @@ class LakeChangeFeedDataSource(DataSource):
             start_seq=int(self.options.get("startseq", "1")),
             max_versions_per_batch=int(self.options.get("maxversionsperbatch", "0")),
             include_pre=self.options.get("includepre", "false").lower() == "true",
+            max_bucket_bytes=self._max_bucket_bytes(),
         )
 
 
 class LakeSnapshotReader(DataSourceReader):
     def __init__(
-        self, path: str, schema: T.StructType, meta: dict | None = None
+        self,
+        path: str,
+        schema: T.StructType,
+        meta: dict | None = None,
+        max_bucket_bytes: int = DEFAULT_MAX_BUCKET_BYTES,
     ) -> None:
         self.path = path
         self.out_schema = schema
+        self.max_bucket_bytes = max_bucket_bytes
         if meta is None:  # standalone use; DataSource passes its frozen copy
             meta = _manifest(path)
         self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
@@ -436,6 +501,7 @@ class LakeSnapshotReader(DataSourceReader):
         spec = partition.value
         if not spec:
             return
+        _guard_bucket_bytes([spec], self.max_bucket_bytes)
         df = _fold_bucket(spec, self.key_cols, self.columns, self.redigest)
         if df.empty:
             return
@@ -455,11 +521,13 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         start_seq: int,
         max_versions_per_batch: int = 0,
         include_pre: bool = False,
+        max_bucket_bytes: int = DEFAULT_MAX_BUCKET_BYTES,
     ) -> None:
         self.path = path
         self.out_schema = schema
         self.start_seq = start_seq
         self.include_pre = include_pre
+        self.max_bucket_bytes = max_bucket_bytes
         #: rate limit (maxOffsetsPerTrigger analog): cap how many source
         #: commits one micro-batch may span. 0 = unbounded (each batch
         #: coalesces everything outstanding — cheapest, but nets out
@@ -535,6 +603,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         spec = partition.value
         if not spec:
             return
+        _guard_bucket_bytes([spec["old"], spec["new"]], self.max_bucket_bytes)
         df = _diff_bucket(
             spec["old"],
             spec["new"],
@@ -556,11 +625,19 @@ class LakeFeedStreamReader(DataSourceStreamReader):
 
 
 def register_lake_source(spark: SparkSession) -> None:
-    # a reader that implements pushFilters is REJECTED outright when the
-    # (runtime-settable, default-false) pushdown conf is off — enabling it
-    # at registration keeps every existing cdclake read working and turns
-    # the manifest-bounds partition pruning on
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Register the ``cdclake`` source.
+
+    SESSION-GLOBAL SIDE EFFECT, documented: when the session has no
+    explicit setting for ``spark.sql.python.filterPushdown.enabled``,
+    this turns it on — a reader that implements ``pushFilters`` is
+    REJECTED outright while the (default-false) conf is off, so cdclake
+    reads need it, and enabling it also makes every OTHER registered
+    Python data source's ``pushFilters`` start being invoked. A value the
+    user set explicitly (either way) is respected and never overridden;
+    note that with an explicit ``false`` cdclake reads will fail with
+    Spark's pushdown-disabled error until it is re-enabled."""
+    if spark.conf.get("spark.sql.python.filterPushdown.enabled", None) is None:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LakeChangeFeedDataSource)
 
 
@@ -570,6 +647,7 @@ def stream_changes(
     start_seq: int = 1,
     max_versions_per_batch: int = 0,
     include_pre: bool = False,
+    max_bucket_bytes: int = DEFAULT_MAX_BUCKET_BYTES,
 ):
     """The change feed as an unbounded DataFrame (micro-batch per new
     committed version interval). ``max_versions_per_batch=1`` replays one
@@ -585,12 +663,24 @@ def stream_changes(
         .option("startseq", str(start_seq))
         .option("maxversionsperbatch", str(max_versions_per_batch))
         .option("includepre", str(include_pre).lower())
+        .option("maxbucketbytes", str(max_bucket_bytes))
         .load()
     )
 
 
-def read_snapshot(spark: SparkSession, table_path: str):
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    max_bucket_bytes: int = DEFAULT_MAX_BUCKET_BYTES,
+):
     """The current merged table state via the Python source (one
-    partition per bucket, MOR deltas folded executor-side)."""
+    partition per bucket, MOR deltas folded executor-side; each task
+    refuses buckets over ``max_bucket_bytes`` live parquet bytes — see
+    ``_guard_bucket_bytes`` — instead of OOMing its worker)."""
     register_lake_source(spark)
-    return spark.read.format("cdclake").option("path", table_path).load()
+    return (
+        spark.read.format("cdclake")
+        .option("path", table_path)
+        .option("maxbucketbytes", str(max_bucket_bytes))
+        .load()
+    )

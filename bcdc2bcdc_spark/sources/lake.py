@@ -74,6 +74,60 @@ def _bucket_expr(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+#: bits per dimension for Z-order ranks (2^6 = 64 quantile cells per
+#: column). Row-group pruning only needs one row group to span a narrow
+#: slice of each clustered dimension, and a bucket file holds at most a
+#: handful of row groups — 64×64 cells for two columns is already far
+#: finer than that. 6 bits also keeps the interleaved value within a
+#: long for up to 10 dimensions.
+_Z_BITS = 6
+
+
+def _z_surrogate(col_name: str, dt) -> F.Column:
+    """An order-preserving NUMERIC image of a cluster column, for quantile
+    ranking. Strings use a 2-byte code-point prefix (coarse for non-ASCII
+    data — ranks only need a monotone image, not an injection); booleans
+    and numerics cast; anything else casts-to-double and degrades to rank
+    0 where the cast nulls out (harmless: the column simply stops
+    contributing order, it never breaks correctness)."""
+    c = F.col(col_name)
+    if isinstance(dt, T.StringType):
+        return (
+            F.coalesce(F.ascii(F.substring(c, 1, 1)), F.lit(-1)) * 256
+            + F.coalesce(F.ascii(F.substring(c, 2, 1)), F.lit(0))
+        ).cast("double")
+    if isinstance(dt, T.BooleanType):
+        return c.cast("int").cast("double")
+    return c.cast("double")
+
+
+def _z_rank(surrogate: F.Column, splits: list[float]) -> F.Column:
+    """Quantile cell id (0 .. len(splits)) = how many split points the
+    value is ≥ of — one pass over a LITERAL array per row, pure codegen
+    (no join, no shuffle). NULL surrogates rank 0 (NULLS FIRST)."""
+    arr = F.array(*[F.lit(float(s)) for s in splits])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, s: acc + F.when(surrogate >= s, 1).otherwise(0),
+    )
+
+
+def _z_interleave(ranks: list[F.Column]) -> F.Column:
+    """Bit-interleave per-dimension cell ids into one sort value:
+    bit i of dimension d lands at position i*D + d, so the sort refines
+    all dimensions together instead of exhausting the first one first."""
+    n_dims = len(ranks)
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        for d, r in enumerate(ranks):
+            z = z + F.shiftleft(
+                F.shiftright(r.cast("long"), i).bitwiseAND(F.lit(1)),
+                i * n_dims + d,
+            )
+    return z
+
+
 #: predicate DSL ops accepted by read_where / prune_buckets. A predicate is
 #: a conjunction: list of ``(col, op, value)`` triples ("in" takes a
 #: sequence, "between" an inclusive (lo, hi) pair). Deliberately tiny —
@@ -309,6 +363,20 @@ class HashBucketParquetTable:
     #: written after the flip; rewrite everything via ``rebucket`` to
     #: re-cluster history).
     cluster_cols: tuple[str, ...] | None = None
+    #: HOW multi-column cluster_cols order rows within a bucket:
+    #: * "lexicographic" (default) — plain multi-column sort. Row groups
+    #:   are selective on the FIRST cluster column; predicates on the
+    #:   second+ columns prune poorly (each leading-value run spans the
+    #:   trailing column's whole domain).
+    #: * "zorder" — bit-interleaved Z-ordering (Delta OPTIMIZE ZORDER
+    #:   analog): each cluster column is quantile-ranked into 2^6 cells
+    #:   over the generation being written (one approxQuantile pass,
+    #:   O(written bytes)) and the ranks' bits are interleaved into one
+    #:   sort value, so row-group min/max become selective on EVERY
+    #:   cluster dimension at the cost of coarser per-dimension locality.
+    #: Persisted like cluster_cols; flip with ``set_cluster_strategy``.
+    #: Layout-only: no read path changes either way.
+    cluster_strategy: str = "lexicographic"
     #: per-bucket column bounds computed for generations this handle wrote
     #: but has not yet committed (WAP stagings park here until publish).
     _pending_gen_stats: dict = field(
@@ -369,6 +437,7 @@ class HashBucketParquetTable:
             "write_mode": self._validated_mode(self.write_mode),
             "stats_cols": list(self.stats_cols or ()),
             "cluster_cols": list(self.cluster_cols or ()),
+            "cluster_strategy": self._validated_strategy(self.cluster_strategy),
             "commit_seq": 1,
         }
         if gen in self._pending_gen_stats:
@@ -397,9 +466,16 @@ class HashBucketParquetTable:
         # skip row groups inside the buckets they read (free at write
         # time, the sort rides the same shuffle)
         ccols = self._cluster_cols_resolved()
-        order = [c for c in ccols if c in df_with_bucket.columns] + [
-            k for k in self.key_cols if k not in ccols
-        ]
+        present = [c for c in ccols if c in df_with_bucket.columns]
+        tiebreak = [k for k in self.key_cols if k not in ccols]
+        if self._cluster_strategy_resolved() == "zorder" and len(present) >= 2:
+            # Z-order: sort by the bit-interleaved quantile-cell value so
+            # row groups stay narrow on EVERY cluster dimension. Costs one
+            # extra pass over the staged generation (approxQuantile) —
+            # opt-in, like Delta's OPTIMIZE ZORDER rewrite cost.
+            order: list = [self._zorder_sort_col(df_with_bucket, present), *tiebreak]
+        else:
+            order = [*present, *tiebreak]
         (
             # `_bucket` must LEAD the sort: partitionBy's writer requires
             # task rows ordered by the partition columns and would insert
@@ -420,6 +496,30 @@ class HashBucketParquetTable:
             if stats:
                 self._pending_gen_stats[gen] = stats
         return gen, written
+
+    def _zorder_sort_col(self, df: DataFrame, cols: Sequence[str]) -> F.Column:
+        """The Z-value sort expression for one staged generation: each
+        cluster column's numeric surrogate is quantile-ranked into
+        ``2^_Z_BITS`` cells (split points from ONE approxQuantile job over
+        the generation being written — O(written bytes), adapts to skew
+        the way Delta's range-partition ids do), then the cell ids'
+        bits are interleaved. Everything after the quantile probe is a
+        literal-array codegen expression riding the write's own shuffle."""
+        dts = {f.name: f.dataType for f in df.schema.fields}
+        surrogates = [(c, _z_surrogate(c, dts[c])) for c in cols]
+        probe = df.select(
+            *[s.alias(f"__zs_{i}") for i, (_, s) in enumerate(surrogates)]
+        )
+        probs = [j / (1 << _Z_BITS) for j in range(1, 1 << _Z_BITS)]
+        all_splits = probe.stat.approxQuantile(
+            [f"__zs_{i}" for i in range(len(surrogates))], probs, 0.01
+        )
+        ranks = []
+        for (_c, s), sp in zip(surrogates, all_splits):
+            uniq = sorted({x for x in sp if x is not None})
+            # all-NULL / constant column: contributes nothing to the order
+            ranks.append(_z_rank(s, uniq) if uniq else F.lit(0))
+        return _z_interleave(ranks)
 
     def _collect_gen_stats(self, out: str) -> dict:
         """Per-bucket min/max/nonnull for the declared stats columns over a
@@ -462,13 +562,39 @@ class HashBucketParquetTable:
         """Authoritative stats column set: persisted once the table exists
         (constructor arg only seeds init), like bucket_cols/write_mode.
         During init() the constructor arg wins even over a prior table's
-        manifest (init overwrites all prior state)."""
+        manifest (init overwrites all prior state).
+
+        Once the table exists the manifest is the ONLY authority — no
+        constructor fallback: ``_usable_bounds_preds`` prunes from the
+        persisted key alone, so a ctor fallback here would collect (and
+        pay for) stats the read side never uses on pre-feature tables.
+        Enable stats on a legacy table explicitly via ``set_stats_cols``."""
         if meta is None:
             if getattr(self, "_initializing", False) or not self.exists():
-                meta = {}
-            else:
-                meta = self._meta()
-        return list(meta.get("stats_cols", list(self.stats_cols or ())))
+                return list(self.stats_cols or ())
+            meta = self._meta()
+        return list(meta.get("stats_cols", []))
+
+    def _commit_meta_flip(self, field: str, value, default=None) -> None:
+        """Shared metadata-flip commit (``write_mode`` / ``stats_cols`` /
+        ``cluster_cols``): one manifest read, mutate one field, then a REAL
+        commit whose ``expect_base_seq`` makes ``_finalize_commit`` re-read
+        the manifest IMMEDIATELY before the atomic swap and abort with
+        ``ConcurrentWriteError`` on any interleaved commit — one shared
+        optimistic-concurrency path instead of a copied double-read per
+        setter (the window is now the swap itself, not two stacked reads)."""
+        self._check_writable()
+        meta = self._meta()
+        if meta.get(field, default) == value:
+            return
+        base_seq = int(meta.get("commit_seq", 0))
+        meta[field] = value
+        self._finalize_commit(
+            meta,
+            base_seq + 1,
+            self._referenced_gens(meta),
+            expect_base_seq=base_seq,
+        )
 
     def set_stats_cols(self, cols: Sequence[str]) -> None:
         """Flip the persisted stats column set — a real commit, same
@@ -478,29 +604,17 @@ class HashBucketParquetTable:
         never pruned by it), so enabling stats on a live table is safe and
         instant, and bounds backfill naturally as buckets churn (or all at
         once via ``compact()``/``rebucket``)."""
-        self._check_writable()
-        cols = list(cols or ())
-        base_seq = int(self._meta().get("commit_seq", 0))
-        meta = self._meta()
-        if int(meta.get("commit_seq", 0)) != base_seq:
-            raise ConcurrentWriteError(
-                "a commit landed during set_stats_cols — re-run against the "
-                "new table state"
-            )
-        if meta.get("stats_cols", []) == cols:
-            return
-        meta["stats_cols"] = cols
-        self._finalize_commit(meta, base_seq + 1, self._referenced_gens(meta))
+        self._commit_meta_flip("stats_cols", list(cols or ()), default=[])
 
     def _cluster_cols_resolved(self, meta: dict | None = None) -> list[str]:
         """Authoritative cluster column set — same resolution contract as
-        ``_stats_cols_resolved`` (persisted wins, ctor seeds init)."""
+        ``_stats_cols_resolved`` (persisted wins, ctor seeds init, no ctor
+        fallback once the table exists)."""
         if meta is None:
             if getattr(self, "_initializing", False) or not self.exists():
-                meta = {}
-            else:
-                meta = self._meta()
-        return list(meta.get("cluster_cols", list(self.cluster_cols or ())))
+                return list(self.cluster_cols or ())
+            meta = self._meta()
+        return list(meta.get("cluster_cols", []))
 
     def set_cluster_cols(self, cols: Sequence[str]) -> None:
         """Flip the persisted cluster column set — a real commit, same
@@ -509,19 +623,34 @@ class HashBucketParquetTable:
         immutable generation, so history keeps the layout it was written
         with (still correct, just un-clustered); rewrite it all at once
         with ``rebucket`` when the new layout should apply retroactively."""
-        self._check_writable()
-        cols = list(cols or ())
-        base_seq = int(self._meta().get("commit_seq", 0))
-        meta = self._meta()
-        if int(meta.get("commit_seq", 0)) != base_seq:
-            raise ConcurrentWriteError(
-                "a commit landed during set_cluster_cols — re-run against "
-                "the new table state"
+        self._commit_meta_flip("cluster_cols", list(cols or ()), default=[])
+
+    @staticmethod
+    def _validated_strategy(strategy: str) -> str:
+        if strategy not in ("lexicographic", "zorder"):
+            raise ValueError(
+                f"cluster_strategy must be 'lexicographic' or 'zorder', "
+                f"got {strategy!r}"
             )
-        if meta.get("cluster_cols", []) == cols:
-            return
-        meta["cluster_cols"] = cols
-        self._finalize_commit(meta, base_seq + 1, self._referenced_gens(meta))
+        return strategy
+
+    def _cluster_strategy_resolved(self, meta: dict | None = None) -> str:
+        """Same resolution contract as ``_cluster_cols_resolved``."""
+        if meta is None:
+            if getattr(self, "_initializing", False) or not self.exists():
+                return self._validated_strategy(self.cluster_strategy)
+            meta = self._meta()
+        return meta.get("cluster_strategy", "lexicographic")
+
+    def set_cluster_strategy(self, strategy: str) -> None:
+        """Flip the persisted cluster strategy — a real commit, same
+        contract as ``set_cluster_cols`` (affects generations written
+        after the flip; ``rebucket`` re-lays history out)."""
+        self._commit_meta_flip(
+            "cluster_strategy",
+            self._validated_strategy(strategy),
+            default="lexicographic",
+        )
 
     def _sweep_unreferenced_generations(
         self, expired_now: Sequence[str] = ()
@@ -585,19 +714,9 @@ class HashBucketParquetTable:
         is data-empty: ``read_changes`` across it yields no rows.
         Existing deltas stay readable either way: a ``cow`` upsert on a
         bucket with outstanding deltas folds them in and clears the list."""
-        self._check_writable()
-        mode = self._validated_mode(mode)
-        base_seq = int(self._meta().get("commit_seq", 0))
-        meta = self._meta()  # freshest copy is the one we mutate + write
-        if int(meta.get("commit_seq", 0)) != base_seq:
-            raise ConcurrentWriteError(
-                "a commit landed during set_write_mode — re-run against the "
-                "new table state"
-            )
-        if meta.get("write_mode", "cow") == mode:
-            return
-        meta["write_mode"] = mode
-        self._finalize_commit(meta, base_seq + 1, self._referenced_gens(meta))
+        self._commit_meta_flip(
+            "write_mode", self._validated_mode(mode), default="cow"
+        )
 
     def _meta(self) -> dict:
         return self.fs.read_json(self.meta_path)
@@ -896,10 +1015,20 @@ class HashBucketParquetTable:
             return None
         types = {f.name: f.dataType for f in T.StructType.fromJson(meta["schema"]).fields}
         schema = T.StructType([T.StructField(c, types[c], True) for c in bcols])
-        probe = self.spark.createDataFrame(tuples, schema).withColumn(
-            "_bucket", _bucket_expr(bcols, self._n_buckets(meta))
-        )
-        return {int(r["_bucket"]) for r in probe.select("_bucket").distinct().collect()}
+        try:
+            probe = self.spark.createDataFrame(tuples, schema).withColumn(
+                "_bucket", _bucket_expr(bcols, self._n_buckets(meta))
+            )
+            return {
+                int(r["_bucket"]) for r in probe.select("_bucket").distinct().collect()
+            }
+        except Exception:
+            # a candidate value whose Python type can't verify against the
+            # bucket column's declared type (e.g. int vs string) must NOT
+            # crash planning — pruning is never load-bearing, so fall back
+            # to the unpruned scan and let the residual Catalyst filter
+            # (which casts) decide row membership
+            return None
 
     def prune_buckets(
         self, preds: Sequence[tuple], meta: dict | None = None
@@ -1623,12 +1752,22 @@ class HashBucketParquetTable:
         self._finalize_commit(meta, seq, before_refs)
 
     def _finalize_commit(
-        self, meta: dict, seq: int, before_refs: set[str]
+        self,
+        meta: dict,
+        seq: int,
+        before_refs: set[str],
+        expect_base_seq: int | None = None,
     ) -> None:
         """Shared commit tail for base-swap and delta-append commits:
         advance the sequence, RETIRE generations that lost their last
         reference (snapshot retention), atomically swap the manifest,
-        freeze it into history, then GC."""
+        freeze it into history, then GC.
+
+        ``expect_base_seq``: optimistic-concurrency re-check performed
+        IMMEDIATELY before the atomic swap — aborts with
+        ``ConcurrentWriteError`` if the on-disk manifest has advanced past
+        this sequence (used by the metadata-flip commits, whose staged
+        ``meta`` would otherwise silently clobber an interleaved commit)."""
         meta["commit_seq"] = seq
         retired = meta.setdefault("retired", {})
         for g in before_refs - self._referenced_gens(meta):
@@ -1651,6 +1790,14 @@ class HashBucketParquetTable:
                 del stats[g]
             if not stats:
                 meta.pop("stats", None)
+        if expect_base_seq is not None:
+            on_disk = int(self._meta().get("commit_seq", 0))
+            if on_disk != expect_base_seq:
+                raise ConcurrentWriteError(
+                    f"a commit landed during a metadata flip (manifest at "
+                    f"{on_disk}, expected {expect_base_seq}) — re-run "
+                    "against the new table state"
+                )
         self._write_meta(meta)  # ← ATOMIC COMMIT POINT
         # manifest history: one frozen manifest per commit (time travel /
         # version diff); readable while its generations survive retention
