@@ -109,6 +109,12 @@ def run_all(levels, workdir: str, zpath: str, repeats: int = 1) -> dict:
             r["loadavg_before"] = load1
             if cores not in best or r["events_per_sec"] > best[cores]["events_per_sec"]:
                 best[cores] = r
+            # Free this leg's lake+checkpoint output immediately: everything
+            # the protocol needs (wall, throughput, final_rows) is already in
+            # the JSON, and at 128M events each leg writes ~40 GB — keeping
+            # all legs until the final workdir rmtree would overflow the
+            # tmpfs/RAM budget and leave writeback pressure for later legs.
+            shutil.rmtree(os.path.join(workdir, f"run_{cores}_{i}"), ignore_errors=True)
     return best
 
 
