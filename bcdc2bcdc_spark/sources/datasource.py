@@ -21,6 +21,14 @@ digest-equal upsert keeps the prior row (no-op suppression preserves
 together. Work per partition is O(bucket + its deltas); planning is
 driver-side manifest JSON only.
 
+Per-task memory on the snapshot path is BOUNDED: key-sorted tables (the
+default layout — no cluster_cols) fold through a boundary-chunked k-way
+merge over the generation streams (``_fold_bucket_streamed``), peak
+O(batch_rows × generations) regardless of bucket size. Clustered tables
+(whose files are ordered by non-key columns) fall back to whole-bucket
+materialization behind ``_guard_bucket_bytes``, as does the change-feed
+diff path (two full folds per bucket).
+
 Offsets/retention: a stream that falls more than ``retain_generations``
 commits behind loses the frozen manifests it needs — same contract as
 ``read_version``. Size retention to the longest expected stream outage.
@@ -70,18 +78,15 @@ OP_DELETE = "DELETE"  # schema.py constant, inlined: executors import nothing he
 # ---------------------------------------------------------------------------
 
 
-def _read_dir(path: str, columns: list[str]):
-    """All parquet files directly under ``path`` as one pandas frame with
-    exactly ``columns`` (missing columns NULL-backfilled — schema
-    evolution reads old files under the new schema, like the JVM path)."""
+def _nullable_dtypes():
+    """pyarrow→pandas nullable dtype map for ints/bools: a NULL in any
+    file must NOT float-promote the column (str(42.0) != the JVM digest's
+    '42' — functions/digest.py pd_row_digest is dtype-aware and relies on
+    this)."""
     import pandas as pd
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    # nullable pandas dtypes for ints/bools: a NULL in any file must NOT
-    # float-promote the column (str(42.0) != the JVM digest's '42' —
-    # functions/digest.py pd_row_digest is dtype-aware and relies on this)
-    _nullable = {
+    return {
         pa.int8(): pd.Int8Dtype(),
         pa.int16(): pd.Int16Dtype(),
         pa.int32(): pd.Int32Dtype(),
@@ -89,28 +94,44 @@ def _read_dir(path: str, columns: list[str]):
         pa.bool_(): pd.BooleanDtype(),
     }
 
-    frames = []
-    if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            if f.endswith(".parquet"):
-                tbl = pq.read_table(os.path.join(path, f))
-                frames.append(tbl.to_pandas(types_mapper=_nullable.get))
-    if not frames:
-        return pd.DataFrame({c: pd.Series(dtype="object") for c in columns})
-    df = pd.concat(frames, ignore_index=True)
+
+def _backfill(df, columns: list[str]):
+    """NULL-backfill missing columns and project to exactly ``columns`` —
+    schema evolution reads old files under the new schema, like the JVM
+    path."""
     for c in columns:
         if c not in df.columns:
             df[c] = None
     return df[columns]
 
 
+def _read_dir(path: str, columns: list[str]):
+    """All parquet files directly under ``path`` as one pandas frame with
+    exactly ``columns``."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    nullable = _nullable_dtypes()
+    frames = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                tbl = pq.read_table(os.path.join(path, f))
+                frames.append(tbl.to_pandas(types_mapper=nullable.get))
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in columns})
+    return _backfill(pd.concat(frames, ignore_index=True), columns)
+
+
 #: default per-task ceiling on one bucket's LIVE parquet bytes
-#: (base + outstanding deltas, compressed on-disk size). A cdclake task
-#: materializes its whole bucket in pandas before folding, so — unlike the
-#: JVM read path, whose fold is a streaming hash aggregate — its peak
-#: memory is O(bucket bytes × decompression ratio). 2 GiB compressed is a
-#: conservative fit for the default 4-8 GiB Python-worker budget; override
-#: per read with .option("maxbucketbytes", n) — 0 disables the guard.
+#: (base + outstanding deltas, compressed on-disk size) — applies only
+#: where a task materializes its whole bucket in pandas before folding
+#: (the feed's diff path, clustered tables, streamfold=false); there peak
+#: memory is O(bucket bytes × decompression ratio), unlike the JVM read
+#: path (streaming hash aggregate) and the default streamed snapshot fold
+#: (O(batch × generations)). 2 GiB compressed is a conservative fit for
+#: the default 4-8 GiB Python-worker budget; override per read with
+#: .option("maxbucketbytes", n) — 0 disables the guard.
 DEFAULT_MAX_BUCKET_BYTES = 2 * 1024**3
 
 
@@ -187,6 +208,12 @@ def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str],
     the SAME bit-exact formula as the engine (functions/digest.py
     pd_row_digest) — mirroring lake._read_merged_raw's lag branch."""
     df = _load_versions(spec, columns)
+    return _fold_frame(df, key_cols, redigest_cols)
+
+
+def _fold_frame(df, key_cols: list[str], redigest_cols: list[str] | None = None):
+    """The vectorized fold core over one frame holding ALL versions of
+    every key it contains (columns ``*payload, _digest, op, _seq``)."""
     if df.empty:
         return df.drop(columns=["op", "_seq"], errors="ignore")
     if redigest_cols is not None:
@@ -223,6 +250,181 @@ def _fold_bucket(spec: dict, key_cols: list[str], columns: list[str],
     winners = pd.Series(np.where(starts, pos, -1)).groupby(key_id).max()
     out = df.iloc[winners[winners >= 0].to_numpy()]
     return out.drop(columns=["op", "_seq"]).reset_index(drop=True)
+
+
+#: rows per pyarrow batch on the streamed fold path — peak task memory is
+#: O(this × (1 + MOR depth)) decoded rows, independent of bucket size
+STREAM_FOLD_BATCH_ROWS = 65536
+
+
+class UnsortedGenerationError(RuntimeError):
+    """A generation file violated the writer's key-sorted layout."""
+
+
+class _SortedGenStream:
+    """Sequential batched reader over ONE generation's bucket dir,
+    exploiting the writer's layout guarantee (lake._write_generation:
+    every bucket file is sorted by key_cols when no cluster_cols are
+    declared; a task's file splits stay globally sorted in filename
+    order). Keys are UNIQUE per generation (each generation is one
+    LWW-deduped batch), so a buffered prefix reaching key K holds ALL of
+    this generation's rows with key ≤ K.
+
+    Monotonicity across batch/file boundaries is verified as batches
+    arrive (two scalar tuple compares per batch); a violation raises
+    ``UnsortedGenerationError`` rather than silently mis-folding."""
+
+    def __init__(self, path: str, seq: int, key_cols: list[str],
+                 columns: list[str], batch_rows: int) -> None:
+        self.seq = seq
+        self.key_cols = key_cols
+        self.columns = columns  # payload + _digest (+ op when seq >= 0)
+        self.batch_rows = batch_rows
+        self.path = path
+        self.buf = None  # pandas frame, key-sorted
+        self.exhausted = False
+        self._last_seen: tuple | None = None
+        self._iter = self._batches(path)
+
+    def _batches(self, path: str):
+        import pyarrow.parquet as pq
+
+        nullable = _nullable_dtypes()
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                if not f.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(os.path.join(path, f))
+                have = [c for c in self.columns if c in pf.schema_arrow.names]
+                for rb in pf.iter_batches(batch_size=self.batch_rows, columns=have):
+                    import pyarrow as pa
+
+                    yield pa.Table.from_batches([rb]).to_pandas(
+                        types_mapper=nullable.get
+                    )
+
+    @staticmethod
+    def _sorted_ok(frame, key_cols: list[str]) -> bool:
+        """Every adjacent row pair non-decreasing on the key (vectorized
+        shift-compare — loops over key COLUMNS, never rows)."""
+        import numpy as np
+
+        if len(frame) <= 1:
+            return True
+        n = len(frame) - 1
+        lt = np.zeros(n, dtype=bool)
+        eq = np.ones(n, dtype=bool)
+        for col in key_cols:
+            v = frame[col].to_numpy(dtype=object)
+            lt |= eq & (v[:-1] < v[1:])
+            eq &= v[:-1] == v[1:]
+        return bool((lt | eq).all())
+
+    def pull(self) -> None:
+        """Append the next batch to the buffer (marks exhausted at EOF)."""
+        import pandas as pd
+
+        nxt = next(self._iter, None)
+        if nxt is None:
+            self.exhausted = True
+            return
+        nxt = _backfill(nxt, self.columns)
+        if len(nxt):
+            first = tuple(nxt.iloc[0][k] for k in self.key_cols)
+            bad_seam = self._last_seen is not None and first < self._last_seen
+            if bad_seam or not self._sorted_ok(nxt, self.key_cols):
+                raise UnsortedGenerationError(
+                    f"cdclake: generation at {self.path} is not key-sorted; "
+                    "the table was written by a writer without the "
+                    "key-sorted layout. Read with "
+                    ".option('streamfold', 'false') to fall back to "
+                    "whole-bucket materialization."
+                )
+            self._last_seen = tuple(nxt.iloc[-1][k] for k in self.key_cols)
+        nxt["_seq"] = self.seq
+        if "op" not in nxt.columns:  # base generation carries no op column
+            nxt["op"] = None
+        self.buf = nxt if self.buf is None else pd.concat(
+            [self.buf, nxt], ignore_index=True
+        )
+
+    def buffered_max(self) -> tuple | None:
+        if self.buf is None or not len(self.buf):
+            return None
+        return tuple(self.buf.iloc[-1][k] for k in self.key_cols)
+
+    def split_le(self, boundary: tuple):
+        """Vectorized lexicographic split: rows with key ≤ boundary leave
+        the buffer and are returned (column-wise compares — loops over
+        key COLUMNS, never rows)."""
+        import numpy as np
+
+        if self.buf is None or not len(self.buf):
+            return None
+        n = len(self.buf)
+        le = np.zeros(n, dtype=bool)
+        eq = np.ones(n, dtype=bool)
+        for col, bval in zip(self.key_cols, boundary):
+            v = self.buf[col].to_numpy(dtype=object)
+            le |= eq & (v < bval)
+            eq &= v == bval
+        le |= eq
+        if not le.any():
+            return None
+        out = self.buf[le]
+        self.buf = self.buf[~le].reset_index(drop=True)
+        return out
+
+
+def _fold_bucket_streamed(spec: dict, key_cols: list[str], columns: list[str],
+                          redigest_cols: list[str] | None = None,
+                          batch_rows: int = STREAM_FOLD_BATCH_ROWS):
+    """Bounded-memory version of ``_fold_bucket``: a boundary-chunked
+    k-way merge over the bucket's (base + delta) generation streams.
+
+    Each round picks boundary B = min over non-exhausted streams of their
+    buffered max key. Every live stream's buffer is a prefix reaching
+    ≥ B and keys are unique per stream, so rows with key ≤ B are COMPLETE
+    version sets across all generations — they split off, fold through
+    the same vectorized core as the materialized path (`_fold_frame`,
+    bit-exact by construction), and yield as one chunk. Peak memory is
+    O(batch_rows × generations), independent of bucket size — the 100 TB
+    fix for the whole-bucket ``pd.concat`` this module previously
+    required (and still uses, behind ``_guard_bucket_bytes``, for tables
+    whose cluster_cols order files by non-key columns)."""
+    import pandas as pd
+
+    streams: list[_SortedGenStream] = []
+    if spec.get("base"):
+        streams.append(
+            _SortedGenStream(spec["base"], -1, key_cols,
+                             columns + ["_digest"], batch_rows)
+        )
+    for d in spec.get("deltas", []):
+        streams.append(
+            _SortedGenStream(d["dir"], int(d["seq"]), key_cols,
+                             columns + ["_digest", "op"], batch_rows)
+        )
+    all_cols = columns + ["_digest", "op", "_seq"]
+    while True:
+        for s in streams:
+            while not s.exhausted and s.buffered_max() is None:
+                s.pull()
+        live = [s for s in streams if not s.exhausted]
+        if not live:
+            tails = [s.buf for s in streams if s.buf is not None and len(s.buf)]
+            if tails:
+                chunk = pd.concat(tails, ignore_index=True)[all_cols]
+                out = _fold_frame(chunk, key_cols, redigest_cols)
+                if len(out):
+                    yield out
+            return
+        boundary = min(s.buffered_max() for s in live)
+        parts = [p for p in (s.split_le(boundary) for s in streams) if p is not None]
+        chunk = pd.concat(parts, ignore_index=True)[all_cols]
+        out = _fold_frame(chunk, key_cols, redigest_cols)
+        if len(out):
+            yield out
 
 
 def _diff_bucket(old_spec: dict, new_spec: dict, key_cols: list[str],
@@ -412,6 +614,10 @@ class LakeChangeFeedDataSource(DataSource):
             schema,
             self._frozen_meta(),
             max_bucket_bytes=self._max_bucket_bytes(),
+            stream_fold=self.options.get("streamfold", "true").lower() != "false",
+            fold_batch_rows=int(
+                self.options.get("foldbatchrows", str(STREAM_FOLD_BATCH_ROWS))
+            ),
         )
 
     def streamReader(self, schema: T.StructType) -> "LakeFeedStreamReader":
@@ -432,12 +638,20 @@ class LakeSnapshotReader(DataSourceReader):
         schema: T.StructType,
         meta: dict | None = None,
         max_bucket_bytes: int = DEFAULT_MAX_BUCKET_BYTES,
+        stream_fold: bool = True,
+        fold_batch_rows: int = STREAM_FOLD_BATCH_ROWS,
     ) -> None:
         self.path = path
         self.out_schema = schema
         self.max_bucket_bytes = max_bucket_bytes
         if meta is None:  # standalone use; DataSource passes its frozen copy
             meta = _manifest(path)
+        # bounded-memory chunked fold: requires the writer's key-sorted
+        # file layout, which cluster_cols replace with their own order —
+        # clustered tables fall back to whole-bucket materialization
+        # behind the byte guard
+        self.stream_fold = stream_fold and not meta.get("cluster_cols")
+        self.fold_batch_rows = fold_batch_rows
         self.key_cols = list(meta.get("key_cols", ["repo", "path"]))
         self.columns = [f.name for f in T.StructType.fromJson(meta["schema"]).fields]
         self.head = int(meta.get("commit_seq", 0))
@@ -508,16 +722,27 @@ class LakeSnapshotReader(DataSourceReader):
         spec = partition.value
         if not spec:
             return
+        if self.stream_fold:
+            # bounded memory: one Arrow batch per folded key-range chunk;
+            # the byte ceiling is irrelevant here (peak is O(batch × gens))
+            for df in _fold_bucket_streamed(
+                spec, self.key_cols, self.columns, self.redigest,
+                batch_rows=self.fold_batch_rows,
+            ):
+                yield self._finish(df)
+            return
         _guard_bucket_bytes([spec], self.max_bucket_bytes)
         df = _fold_bucket(spec, self.key_cols, self.columns, self.redigest)
-        if df.empty:
-            return
+        if not df.empty:
+            yield self._finish(df)
+
+    def _finish(self, df):
         df["op"] = None
         df["_version"] = self.head
         for f in self.out_schema.fields:  # includepre → all-NULL pre_*
             if f.name.startswith("pre_") and f.name not in df.columns:
                 df[f.name] = None
-        yield _to_record_batch(df, self.out_schema)
+        return _to_record_batch(df, self.out_schema)
 
 
 class LakeFeedStreamReader(DataSourceStreamReader):
@@ -679,15 +904,20 @@ def read_snapshot(
     spark: SparkSession,
     table_path: str,
     max_bucket_bytes: int = DEFAULT_MAX_BUCKET_BYTES,
+    stream_fold: bool = True,
 ):
     """The current merged table state via the Python source (one
-    partition per bucket, MOR deltas folded executor-side; each task
-    refuses buckets over ``max_bucket_bytes`` live parquet bytes — see
-    ``_guard_bucket_bytes`` — instead of OOMing its worker)."""
+    partition per bucket, MOR deltas folded executor-side). On key-sorted
+    tables (no cluster_cols) the fold streams in bounded-memory key-range
+    chunks (``_fold_bucket_streamed``); clustered tables — or
+    ``stream_fold=False`` — materialize the whole bucket behind the
+    ``max_bucket_bytes`` guard (``_guard_bucket_bytes``) instead of
+    OOMing the worker."""
     register_lake_source(spark)
     return (
         spark.read.format("cdclake")
         .option("path", table_path)
         .option("maxbucketbytes", str(max_bucket_bytes))
+        .option("streamfold", "true" if stream_fold else "false")
         .load()
     )

@@ -367,15 +367,134 @@ def test_bucket_bytes_guard_unit(tmp_path):
 def test_bucket_bytes_guard_fires_through_scan(spark, mor_table):
     """An oversized bucket turns into a planned, actionable task error —
     not a worker OOM: the guard message (with the rebucket hint) surfaces
-    through the real cdclake scan path."""
+    through the real cdclake scan path when the materialized fold is in
+    force (stream_fold=False) — while the DEFAULT streamed fold reads the
+    same 'oversized' bucket fine, because its peak memory is
+    O(batch × generations), not O(bucket bytes)."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkException
 
     from bcdc2bcdc_spark.sources.datasource import read_snapshot
 
     with pytest.raises((PySparkException, Py4JJavaError, Exception)) as ei:
-        read_snapshot(spark, mor_table.path, max_bucket_bytes=1).count()
+        read_snapshot(
+            spark, mor_table.path, max_bucket_bytes=1, stream_fold=False
+        ).count()
     assert "rebucket" in str(ei.value)
+
+    # the streamed fold is exempt from the byte ceiling by construction
+    assert (
+        read_snapshot(spark, mor_table.path, max_bucket_bytes=1).count()
+        == mor_table.read().count()
+    )
 
     # default ceiling: test-scale buckets are far under it — reads work
     assert read_snapshot(spark, mor_table.path).count() == mor_table.read().count()
+
+
+# ---------------------------------------------------------------------------
+# bounded-memory streamed fold (key-range chunked k-way merge)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_fold_chunked_parity(spark, mor_table):
+    """foldbatchrows=7 forces many key-range chunks per bucket (200 keys /
+    4 buckets ≈ 50 keys per bucket); the chunked merge must reproduce the
+    materialized fold — and the JVM read — row-for-row, including commit
+    preservation through no-op upserts and DELETE resets."""
+    from bcdc2bcdc_spark.sources.datasource import register_lake_source
+
+    register_lake_source(spark)
+    chunked = (
+        spark.read.format("cdclake")
+        .option("path", mor_table.path)
+        .option("foldbatchrows", "7")
+        .load()
+    )
+    legacy = read_snapshot(spark, mor_table.path, stream_fold=False)
+    want = _rows(mor_table.read())
+    assert _rows(chunked.drop("op", "_version")) == want
+    assert _rows(legacy.drop("op", "_version")) == want
+
+
+def test_stream_fold_pure_python_chunks(spark, mor_table):
+    """Unit contract of _fold_bucket_streamed: with a tiny batch size it
+    yields MULTIPLE chunks covering disjoint ascending key ranges whose
+    union equals the materialized fold exactly."""
+    import pandas as pd
+
+    from bcdc2bcdc_spark.sources.datasource import (
+        _bucket_spec,
+        _fold_bucket,
+        _fold_bucket_streamed,
+        _manifest,
+    )
+
+    meta = _manifest(mor_table.path)
+    key_cols = meta["key_cols"]
+    columns = [f["name"] for f in meta["schema"]["fields"]]
+    # pick a bucket that actually has MOR deltas outstanding
+    bucket = next(iter(meta.get("deltas") or meta["buckets"]))
+    spec = _bucket_spec(meta, mor_table.path, bucket)
+
+    chunks = list(_fold_bucket_streamed(spec, key_cols, columns, batch_rows=5))
+    assert len(chunks) > 1, "tiny batch size must produce multiple chunks"
+    # chunks cover disjoint, ascending key ranges
+    for a, b in zip(chunks, chunks[1:]):
+        last = tuple(a.sort_values(key_cols).iloc[-1][k] for k in key_cols)
+        first = tuple(b.sort_values(key_cols).iloc[0][k] for k in key_cols)
+        assert last < first
+
+    got = (
+        pd.concat(chunks, ignore_index=True)
+        .sort_values(key_cols)
+        .reset_index(drop=True)
+    )
+    want = (
+        _fold_bucket(spec, key_cols, columns)
+        .sort_values(key_cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+
+def test_stream_fold_clustered_falls_back(spark, tmp_path):
+    """cluster_cols order files by non-key columns, so the streamed fold's
+    sortedness precondition fails — the reader must use the materialized
+    path (guard active) and still read correctly."""
+    base = canonicalize_snapshot(gen_repos(spark, n_keys=100, seed=3))
+    t = HashBucketParquetTable(
+        spark, str(tmp_path / "clustered"), n_buckets=2, cluster_cols=["lang"]
+    )
+    t.init(base)
+    with pytest.raises(Exception) as ei:
+        read_snapshot(spark, t.path, max_bucket_bytes=1).count()
+    assert "rebucket" in str(ei.value)  # guard active ⇒ materialized path
+    assert _rows(read_snapshot(spark, t.path).drop("op", "_version")) == _rows(
+        t.read()
+    )
+
+
+def test_unsorted_generation_raises(tmp_path):
+    """A generation file violating the key-sorted layout must raise the
+    actionable error, never silently mis-fold."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bcdc2bcdc_spark.sources.datasource import (
+        UnsortedGenerationError,
+        _SortedGenStream,
+    )
+
+    d = tmp_path / "gen-x" / "_bucket=0"
+    d.mkdir(parents=True)
+    df = pd.DataFrame(
+        {"repo": ["b", "a"], "path": ["p", "p"], "_digest": ["x", "y"]}
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(d / "part-0.parquet"))
+    s = _SortedGenStream(
+        str(d), -1, ["repo", "path"], ["repo", "path", "_digest"], batch_rows=10
+    )
+    with pytest.raises(UnsortedGenerationError, match="streamfold"):
+        s.pull()
