@@ -120,10 +120,15 @@ def run_all(levels, workdir: str, zpath: str, repeats: int = 1) -> dict:
 
 def _run_once(cores: int, workdir: str, zpath: str, attempt: int = 0) -> dict:
     rundir = os.path.join(workdir, f"run_{cores}_{attempt}")
+    # Driver heap is shared by every local-mode task; the 8g default that
+    # carried the 16-32M-event runs OOMs a 32-thread SortAggregate at 128M
+    # events, so it scales with input via SCALING_DRIVER_MEM — identical
+    # across legs, so the efficiency ratio stays internally consistent.
+    driver_mem = os.environ.get("SCALING_DRIVER_MEM", "8g")
     cmd = [
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
-        "--driver-memory", "8g",
+        "--driver-memory", driver_mem,
         "--conf", f"spark.sql.shuffle.partitions={cores}",
         "--conf", "spark.ui.enabled=false",
         "--py-files", zpath,
@@ -139,7 +144,19 @@ def _run_once(cores: int, workdir: str, zpath: str, attempt: int = 0) -> dict:
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"no JSON from run at {cores} cores:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    # Full diagnostics to a file (the exception message alone truncates the
+    # JVM stack above the root cause — learned the hard way at 128M events)
+    dump = os.path.join(tempfile.gettempdir(), f"scaling_fail_{cores}_{attempt}.log")
+    with open(dump, "w") as fh:
+        fh.write(out.stdout)
+        fh.write("\n===== STDERR =====\n")
+        fh.write(out.stderr)
+    caused = [l for l in (out.stdout + out.stderr).splitlines()
+              if "Caused by" in l or "Error:" in l or "OutOfMemory" in l]
+    raise RuntimeError(
+        f"no JSON from run at {cores} cores (full output: {dump}):\n"
+        + "\n".join(caused[:10])
+    )
 
 
 def _hash_work(n: int) -> int:
@@ -268,8 +285,12 @@ Final table row counts identical across all runs:
 """
             )
         print(json.dumps(result))
-    finally:
         shutil.rmtree(workdir, ignore_errors=True)
+    except BaseException:
+        # keep the workdir (the generated input alone can be 15+ min of
+        # work at 128M events) so a failed leg can be re-probed in place
+        print(f"FAILED — workdir kept for re-probe: {workdir}", file=sys.stderr)
+        raise
 
 
 if __name__ == "__main__":
