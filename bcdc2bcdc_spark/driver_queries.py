@@ -134,6 +134,92 @@ def _half_seq_dir(spark: SparkSession, sf_dir: str) -> int:
     return _HALF_CACHE[sf_dir]
 
 
+#: payload carried through the fused two-state aggregation (winner fields
+#: the snapshot/delta consumers read; event_seq is order-only and dropped)
+_STATE_PAYLOAD = ("commit_id", "lang", "content", "op")
+
+
+def _src_dest_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both LWW snapshot states — src (full log) and dest (≤ half
+    boundary) — in ONE aggregation pass over ONE lineitem scan
+    (optimization guide §2.3/§2.4: the two-pass form scanned lineitem
+    twice, paid two aggregate exchanges and a full-outer SortMergeJoin to
+    line the states up; here a conditional ``max_by`` computes the dest
+    winner alongside the src winner — ``max_by`` skips NULL-ordering
+    rows, so events past the boundary never contribute to ``_d``).
+
+    One row per key with ≥1 event: ``repo, path, _s, _d`` where ``_s``
+    (src winner payload, never NULL) and ``_d`` (dest winner payload,
+    NULL when the key has no event at or below the boundary) INCLUDE
+    DELETE winners — callers filter on ``op`` exactly like
+    ``cdc_state`` does. Winner choice is the same ``max_by`` over the
+    same ``LWW_ORDER`` struct as ``lww_dedup(strategy='maxby')``, so
+    every winner is identical to the two-pass derivation's."""
+    ev = cdc_events(spark, sf_dir)
+    half = _half_seq_dir(spark, sf_dir)
+    payload = F.struct(*[F.col(c) for c in _STATE_PAYLOAD])
+    order = F.struct(*[F.col(c) for c in LWW_ORDER])
+    in_dest = F.col("event_seq") <= F.lit(half)
+    return ev.groupBy("repo", "path").agg(
+        F.max_by(payload, order).alias("_s"),
+        F.max_by(F.when(in_dest, payload), F.when(in_dest, order)).alias("_d"),
+    )
+
+
+def _state_live(side: str):
+    """Key present in the state: winner exists and is not a DELETE."""
+    c = F.col(side)
+    return c.isNotNull() & (c["op"] != "DELETE")
+
+
+def _state_of(states: DataFrame, side: str) -> DataFrame:
+    """Project one side of the fused frame to the exact ``cdc_state``
+    output (repo, path, commit_id, lang, content; DELETE winners and
+    absent keys dropped)."""
+    c = F.col(side)
+    return states.filter(_state_live(side)).select(
+        "repo",
+        "path",
+        c["commit_id"].alias("commit_id"),
+        c["lang"].alias("lang"),
+        c["content"].alias("content"),
+    )
+
+
+def _delta_of(states: DataFrame) -> DataFrame:
+    """``snapshot_diff(src, dest, canonicalize=False)`` over the two
+    states, computed from the fused frame with ZERO extra join: the
+    full-outer join on the business key is already implicit in having
+    both winners on one row. Pair (in)equality over the compare set
+    (lang, content) is null-safe per column — exactly what the
+    per-column-NULL-tagged jvm digest comparison decides. Output shape
+    matches the lifecycle rows' ``snapshot_diff`` call: repo, path,
+    commit, lang, content, op (payload NULL on DELETE rows)."""
+    s, d = F.col("_s"), F.col("_d")
+    s_live, d_live = _state_live("_s"), _state_live("_d")
+    pair_eq = s["lang"].eqNullSafe(d["lang"]) & s["content"].eqNullSafe(
+        d["content"]
+    )
+    op = (
+        F.when(s_live & ~d_live, "ADD")
+        .when(~s_live & d_live, "DELETE")
+        .when(s_live & d_live & ~pair_eq, "UPDATE")
+    )
+    keep = F.col("_op") != "DELETE"
+    return (
+        states.withColumn("_op", op)
+        .filter(F.col("_op").isNotNull())
+        .select(
+            "repo",
+            "path",
+            F.when(keep, s["commit_id"]).alias("commit"),
+            F.when(keep, s["lang"]).alias("lang"),
+            F.when(keep, s["content"]).alias("content"),
+            F.col("_op").alias("op"),
+        )
+    )
+
+
 def _digest(col):
     """sha256 over a 'v:'-tagged value — same tagging as the oracle SQL."""
     return F.sha2(F.concat(F.lit("v:"), col, F.lit("\x1f"), F.lit("v:")), 256)
@@ -186,22 +272,26 @@ SQL_CDC_STATE = SNAP_SQL.format(ev=EV_SQL, where="")
 
 def q_cdc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4+D1 flagship: full-outer diff of src (full-log state) vs dest
-    (half-log state), classified ADD/UPDATE/DELETE by digest inequality."""
-    ev = cdc_events(spark, sf_dir)
-    half = _half_seq_dir(spark, sf_dir)
-    src = cdc_state(ev, None).alias("s")
-    dest = cdc_state(ev, half).select(
-        "repo", "path", _pair_digest(F.col("lang"), F.col("content")).alias("_dd")
-    ).alias("d")
-    src_d = src.withColumn("_sd", _pair_digest(F.col("lang"), F.col("content")))
-    j = src_d.join(dest, ["repo", "path"], "full_outer")
+    (half-log state), classified ADD/UPDATE/DELETE by compare-payload
+    inequality. One-pass formulation (r06, guide §2.3/§2.4): both states
+    come from ONE scan + ONE aggregate exchange (``_src_dest_states``)
+    and the key line-up is implicit, so the full-outer SortMergeJoin and
+    the second scan/shuffle of the two-pass form are gone. The pair
+    digests the two-pass form compared are per-column NULL-tagged, so
+    digest inequality ⟺ null-safe pair inequality — identical rows out."""
+    st = _src_dest_states(spark, sf_dir)
+    s, d = F.col("_s"), F.col("_d")
+    s_live, d_live = _state_live("_s"), _state_live("_d")
+    pair_eq = s["lang"].eqNullSafe(d["lang"]) & s["content"].eqNullSafe(
+        d["content"]
+    )
     op = (
-        F.when(F.col("_dd").isNull(), "ADD")
-        .when(F.col("_sd").isNull(), "DELETE")
-        .when(F.col("_sd") != F.col("_dd"), "UPDATE")
+        F.when(s_live & ~d_live, "ADD")
+        .when(~s_live & d_live, "DELETE")
+        .when(s_live & d_live & ~pair_eq, "UPDATE")
     )
     return (
-        j.withColumn("op", op)
+        st.withColumn("op", op)
         .filter(F.col("op").isNotNull())
         .select("repo", "path", "op")
     )
@@ -265,16 +355,18 @@ SQL_CDC_DELETE_ANTI = """
 
 
 def q_cdc_update_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3+D1 UPDATE set: keys in BOTH states whose content digest differs."""
-    ev = cdc_events(spark, sf_dir)
-    half = _half_seq_dir(spark, sf_dir)
-    src = cdc_state(ev, None).select("repo", "path", _digest(F.col("content")).alias("sd"))
-    dest = cdc_state(ev, half).select("repo", "path", _digest(F.col("content")).alias("dd"))
-    return (
-        src.join(dest, ["repo", "path"], "inner")
-        .filter(F.col("sd") != F.col("dd"))
-        .select("repo", "path")
-    )
+    """J3+D1 UPDATE set: keys in BOTH states whose content digest differs.
+    One-pass formulation (r06, guide §2.3/§2.4): both states from ONE
+    scan/shuffle, the inner join implicit in the fused frame. The
+    ``_digest`` the two-pass form compared NULL-propagates (a NULL
+    content digests to NULL and the ``<>`` filter drops the pair), so
+    ``s.content != d.content`` — also null-dropping — keeps exactly the
+    same rows."""
+    st = _src_dest_states(spark, sf_dir)
+    s, d = F.col("_s"), F.col("_d")
+    return st.filter(
+        _state_live("_s") & _state_live("_d") & (s["content"] != d["content"])
+    ).select("repo", "path")
 
 
 SQL_CDC_UPDATE_DIGEST = f"""
@@ -546,6 +638,7 @@ from bcdc2bcdc_spark.operators.dedupe import (  # noqa: E402
     embedding_near_dups,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_star_edges,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -2155,11 +2248,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label connected-components operator; every document — including
     isolated ones — gets cluster_id = min doc_id of its component. The
     oracle recomputes the same fixpoint with a DuckDB recursive CTE
-    (reachability → MIN per vertex), a fully independent algorithm."""
+    (reachability → MIN per vertex), a fully independent algorithm.
+
+    r06: candidates feed the components as per-bucket STAR edges
+    (``minhash_lsh_star_edges``) — connectivity-identical to the all-pairs
+    clique set (every bucket member reaches every other through the
+    bucket min), so the labels are unchanged, while the edge count drops
+    from O(Σ bucket²) to O(docs × bands). The oracle still reaches over
+    the full clique pair set: same transitive closure, independently
+    derived."""
     from bcdc2bcdc_spark.operators.components import connected_components
+    from bcdc2bcdc_spark.operators.dedupe import minhash_lsh_star_edges
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, shingle_n=3)
+    pairs = minhash_lsh_star_edges(docs, shingle_n=3)
     cc = connected_components(pairs, vertices=docs.select("doc_id"), id_col="doc_id")
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -2179,9 +2281,12 @@ def q_corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
         dedup_keep_representative,
     )
+    from bcdc2bcdc_spark.operators.dedupe import minhash_lsh_star_edges
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, shingle_n=3)
+    # star edges: connectivity-identical to the clique pairs, O(docs×bands)
+    # instead of O(Σ bucket²) — see q_dedup_clusters
+    pairs = minhash_lsh_star_edges(docs, shingle_n=3)
     cc = connected_components(pairs, vertices=docs.select("doc_id"), id_col="doc_id")
     kept = dedup_keep_representative(docs.select("doc_id", "text"), cc)
     return kept.select(
@@ -2628,7 +2733,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = stratified_sample(
         q, "lang", _MIX_FRACS, key_col="doc_id", salt="corpus1", default_fraction=0.2
     )
-    pairs = minhash_lsh_pairs(samp, shingle_n=3)
+    # star edges: connectivity-identical to the clique pairs, O(docs×bands)
+    # instead of O(Σ bucket²) — see q_dedup_clusters
+    pairs = minhash_lsh_star_edges(samp, shingle_n=3)
     cc = connected_components(pairs, vertices=samp.select("doc_id"), id_col="doc_id")
     kept = dedup_keep_representative(
         samp.select("doc_id", "text", "lang", "n_chars"), cc
@@ -4388,10 +4495,12 @@ def q_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bcdc2bcdc_spark.operators.diff import snapshot_diff
     from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
 
-    ev = cdc_events(spark, sf_dir)
-    half = _half_seq_dir(spark, sf_dir)
-    src = cdc_state(ev, None).withColumnRenamed("commit_id", "commit")
-    dest = cdc_state(ev, half).withColumnRenamed("commit_id", "commit")
+    # one-pass src+dest derivation, materialized ONCE for the row's three
+    # consumers (init, the delta upsert's discovery, the delta write) —
+    # the two-pass form re-ran the LWW aggregation up to five times per
+    # invocation (guide §5: cache exactly the reused expensive frame)
+    states = _src_dest_states(spark, sf_dir).persist()
+    dest = _state_of(states, "_d").withColumnRenamed("commit_id", "commit")
     work = tempfile.mkdtemp(prefix="cdc_restore_")
     out = _session_tmp("restore_rollback")
     try:
@@ -4399,17 +4508,34 @@ def q_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, f"{work}/lake", n_buckets=16, retain_generations=4
         )
         t.init(dest)
-        delta = snapshot_diff(src, dest, canonicalize=False, digest_impl="jvm")
+        delta = _delta_of(states)  # == snapshot_diff(src, dest, canonicalize=False)
         t.upsert(delta)
         restored = t.restore(1)
         if restored != 3:
             raise AssertionError(f"expected restore commit 3, got {restored}")
-        # the rollback is ordinary feed traffic: exactly the inverse delta
+        # the rollback is ordinary feed traffic: exactly the inverse delta.
+        # Multiset equality is ONE fused job (count per distinct row on a
+        # full-outer line-up) instead of two exceptAll counts that each
+        # recomputed both diffs (guide §1.2: fewer passes, same predicate —
+        # exceptAll(a,b) or exceptAll(b,a) nonempty ⟺ some row's
+        # multiplicities differ)
         inverse = snapshot_diff(
             t.read_version(1), t.read_version(2), digest_impl="jvm"
         ).select("repo", "path", "op")
         feed = t.read_changes(2, 3).select("repo", "path", "op")
-        if feed.exceptAll(inverse).count() or inverse.exceptAll(feed).count():
+        cols = ["repo", "path", "op"]
+        fc = feed.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nf"))
+        ic = inverse.groupBy(*cols).agg(F.count(F.lit(1)).alias("_ni"))
+        mismatch = (
+            fc.join(ic, cols, "full_outer")
+            .filter(
+                ~F.coalesce(F.col("_nf"), F.lit(0)).eqNullSafe(
+                    F.coalesce(F.col("_ni"), F.lit(0))
+                )
+            )
+            .count()
+        )
+        if mismatch:
             raise AssertionError("restore feed is not the inverse delta")
         (
             t.read()
@@ -4418,6 +4544,7 @@ def q_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{out}/result")
         )
     finally:
+        states.unpersist()
         shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(f"{out}/result")
 
@@ -4444,14 +4571,14 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from bcdc2bcdc_spark.operators.diff import snapshot_diff
     from bcdc2bcdc_spark.operators.joinview import IncrementalJoinView
     from bcdc2bcdc_spark.sources.lake import HashBucketParquetTable
 
-    ev = cdc_events(spark, sf_dir)
-    half = _half_seq_dir(spark, sf_dir)
-    src = cdc_state(ev, None).withColumnRenamed("commit_id", "commit")
-    dest = cdc_state(ev, half).withColumnRenamed("commit_id", "commit")
+    # one-pass src+dest derivation, materialized ONCE for the row's four
+    # consumers (facts init, dim init, the delta upsert's discovery + write)
+    # — see q_restore_rollback (guide §5)
+    states = _src_dest_states(spark, sf_dir).persist()
+    dest = _state_of(states, "_d").withColumnRenamed("commit_id", "commit")
     work = tempfile.mkdtemp(prefix="cdc_jv_")
     out = _session_tmp("join_view_incremental")
     try:
@@ -4474,7 +4601,7 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             left, right, f"{work}/view", on=("lang",), how="inner", n_buckets=16
         )
         view.build()
-        left.upsert(snapshot_diff(src, dest, canonicalize=False, digest_impl="jvm"))
+        left.upsert(_delta_of(states))  # == snapshot_diff(src, dest, canonicalize=False)
         right.upsert(
             spark.createDataFrame(
                 [("F", "fam-F2", "UPDATE")], "lang string, family string, op string"
@@ -4488,6 +4615,7 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{out}/result")
         )
     finally:
+        states.unpersist()
         shutil.rmtree(work, ignore_errors=True)
     return spark.read.parquet(f"{out}/result")
 

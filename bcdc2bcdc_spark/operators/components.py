@@ -73,15 +73,19 @@ def connected_components(
     fixpoint — with compression that needs a component of diameter
     ≳ 2^max_iter, i.e. it fires only on a mis-wired input.
     """
-    edges = (
+    edges = checkpoint(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    verts = edges.select(F.col("src").alias("id")).distinct()
+    # vertex universe derives from the CHECKPOINTED edges (the candidate
+    # generator feeding ``pairs`` is usually the expensive plan — deriving
+    # verts from the raw edge plan would execute it a second time), with
+    # ONE distinct over the union instead of one per branch
+    verts = edges.select(F.col("src").alias("id"))
     if vertices is not None:
-        verts = verts.union(vertices.select(F.col(id_col).alias("id"))).distinct()
-    edges = checkpoint(edges)
+        verts = verts.union(vertices.select(F.col(id_col).alias("id")))
+    verts = verts.distinct()
     # seed labels with min(self, neighbors) — folds the first propagation
     # into initialization (same fixpoint, one fewer round on the
     # near-clique graphs LSH produces)
@@ -94,6 +98,16 @@ def connected_components(
         )
     )
 
+    def _compress(frame: DataFrame) -> DataFrame:
+        """One pointer-compression hop: ``l(v) ← l(l(v))`` on an
+        (id, _new, _old) frame.  Labels are always vertex ids, so the
+        inner join is total; the two branches of the self-join are the
+        identical subplan, so Spark reuses one exchange for both."""
+        ptr = frame.select(F.col("id").alias("_p"), F.col("_new").alias("_pn"))
+        return frame.join(ptr, frame["_new"] == ptr["_p"]).select(
+            "id", F.col("_pn").alias("_new"), "_old"
+        )
+
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -104,21 +118,16 @@ def connected_components(
             .agg(F.min("nl").alias("nbr_min"))
             .withColumnRenamed("src", "id")
         )
+        # the pre-round label rides along as ``_old`` so the convergence
+        # probe is a FILTER on the round's own output instead of an extra
+        # join-against-previous-labels per round (guide §1.2: one fewer
+        # shuffle per iteration)
         prop = labels.join(nbr_min, "id", "left").select(
-            "id", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+            "id",
+            F.least("label", F.coalesce("nbr_min", "label")).alias("_new"),
+            F.col("label").alias("_old"),
         )
-        # pointer compression: l(v) ← l(l(v)).  Labels are always vertex
-        # ids, so the inner join is total.
-        compressed = (
-            prop.alias("x")
-            .join(
-                prop.select(
-                    F.col("id").alias("label"), F.col("label").alias("label2")
-                ).alias("y"),
-                "label",
-            )
-            .select("id", F.col("label2").alias("label"))
-        )
+        compressed = _compress(prop)
         new_labels = checkpoint(compressed)
         # Labels decrease monotonically → converged ⟺ zero rows changed.
         # The probe is a FULL count on purpose: it is the round's only
@@ -126,13 +135,8 @@ def connected_components(
         # materializes the lazy checkpoint completely (a limit(1) would
         # stop early and leave partitions un-checkpointed, re-growing
         # lineage across rounds).
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_new") != F.col("_old")).count()
+        labels = new_labels.select("id", F.col("_new").alias("label"))
         if changed == 0:
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(

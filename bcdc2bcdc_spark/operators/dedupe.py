@@ -199,6 +199,62 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """CONNECTIVITY-EQUIVALENT candidate edges for clustering: one STAR
+    per LSH bucket (bucket-min doc → every other member) instead of the
+    all-pairs clique ``minhash_lsh_pairs`` emits.
+
+    An LSH bucket of m documents contributes m·(m-1)/2 clique pairs but
+    only m-1 star edges, and the transitive closure is identical (every
+    member reaches every other through the bucket minimum), so
+    ``connected_components`` over these edges labels EXACTLY the same
+    clusters as over the full pair set — while the edge count drops from
+    O(Σ m²) to O(docs × bands). On the 10× synthetic corpus this is
+    22 M pairs → <0.5 M edges for the same components (optimization
+    guide §1.2 step 1: change the distributed algorithm, don't shuffle
+    bytes you can prove redundant). Use ``minhash_lsh_pairs`` when the
+    *pairs themselves* are the product (similarity reporting); use this
+    when they only feed a clustering.
+
+    The per-bucket min is a ``min() OVER (PARTITION BY bucket)`` — one
+    hash-partitioned window with no ordering (no sort, map-side-free but
+    single pass); a mega-hot bucket costs one task O(m) instead of the
+    clique's O(m²) rows, so this is also the skew guard.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+        F.col(id_col), F.col("bd.band_id"), F.col("bd.band_hash")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    return (
+        buckets.withColumn("a", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

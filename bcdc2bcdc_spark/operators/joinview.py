@@ -229,14 +229,14 @@ class IncrementalJoinView:
                 .select(*lk)
             )
         if rcur > rfrom:
-            rkeys = (
-                self.right.read_changes(rfrom, rcur, digest_impl=digest_impl)
-                .select(*self.on)
-                .distinct()
-            )
+            # no pre-``distinct`` on the probe keys: the semi-join dedups
+            # inherently, so the extra shuffle bought nothing (guide §2.4)
+            rkeys = self.right.read_changes(
+                rfrom, rcur, digest_impl=digest_impl
+            ).select(*self.on)
             if self.fk_index is not None:
                 self.fk_index.refresh(digest_impl=digest_impl)
-                parts.append(self.fk_index.lookup(rkeys).select(*lk))
+                parts.append(self.fk_index.lookup(rkeys.distinct()).select(*lk))
             else:
                 parts.append(
                     self.left.read()
@@ -244,15 +244,34 @@ class IncrementalJoinView:
                     .select(*lk)
                 )
         # persist: the affected-key set drives the left point-read, the
-        # delete anti-join, and the final count — one materialization
+        # delete anti-join, and the bookkeeping aggregate — one
+        # materialization. Both feeds union BEFORE the one distinct
+        # (one shuffle instead of one per feed, guide §2.4).
         keys = reduce(lambda a, b: a.unionByName(b), parts).distinct().persist()
+        view = self._table()
         try:
-            n = keys.count()
+            # ONE bookkeeping job yields the affected count AND both
+            # tables' touched-bucket sets (each bounded by its
+            # n_buckets), replacing three serial driver jobs: the count,
+            # left.lookup's bucket discovery, and the view upsert's
+            # touched discovery (guide §1/§2: the refresh cost at scale
+            # is serial job count, not data).
+            row = keys.select(
+                self.left.bucket_expr().alias("_lb"),
+                view.bucket_expr().alias("_vb"),
+            ).agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.collect_set("_lb").alias("_lbs"),
+                F.collect_set("_vb").alias("_vbs"),
+            ).first()
+            n = int(row["_n"])
             if n:
                 # persist: the affected left rows feed the right-side
                 # bucket discovery (a collect), the join, and the
                 # delete anti-join — point-read them once
-                lrows = self.left.lookup(keys).persist()
+                lrows = self.left.lookup(
+                    keys, buckets=sorted({int(b) for b in row["_lbs"]})
+                ).persist()
                 need = (
                     lrows.select(*self.on)
                     .where(
@@ -265,7 +284,7 @@ class IncrementalJoinView:
                 )
                 cur = self._joined(lrows, self.right.lookup(need))
                 present = cur.withColumn("op", F.lit(OP_UPDATE))
-                schema = self._table().data_schema()
+                schema = view.data_schema()
                 payload = [f for f in schema.fields if f.name not in lk]
                 gone = keys.join(cur.select(*lk), lk, "left_anti").select(
                     *lk,
@@ -275,8 +294,13 @@ class IncrementalJoinView:
                     ],
                 ).withColumn("op", F.lit(OP_DELETE))
                 try:
-                    self._table().upsert(
-                        present.unionByName(gone), digest_impl=digest_impl
+                    # the view rows are keyed by left keys ⊆ ``keys``, so
+                    # the precomputed view-bucket set is a valid touched
+                    # superset — the upsert skips its discovery job
+                    view.upsert(
+                        present.unionByName(gone),
+                        digest_impl=digest_impl,
+                        touched=sorted({int(b) for b in row["_vbs"]}),
                     )
                 finally:
                     lrows.unpersist()

@@ -138,6 +138,37 @@ class CheckpointStore:
             os.path.join(self.lineage_dir, f"epoch={epoch}")
         )
 
+    def write_lineage_rows(self, epoch: int, rows: list) -> None:
+        """``write_lineage`` for rows the caller ALREADY collected (the
+        pipeline's one bookkeeping job returns them): one driver-side
+        pyarrow write of O(input partitions) rows instead of scheduling a
+        whole Spark job to write a kilobyte (guide §1.2/§5 — the driver
+        may do tiny metadata work; an epoch's lineage is exactly that).
+        Same layout + types as ``write_lineage`` (read back by
+        ``read_lineage`` through the identical parquet path), same
+        overwrite-idempotent contract."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = ["partition_id", "events_applied", "upserts", "deletes", "bytes"]
+        types = [pa.int32(), pa.int64(), pa.int64(), pa.int64(), pa.int64()]
+        table = pa.table(
+            {
+                c: pa.array([r[c] for r in rows], type=t)
+                for c, t in zip(cols, types)
+            }
+        )
+        out = os.path.join(self.lineage_dir, f"epoch={epoch}")
+        tmp = out + f".tmp-{uuid.uuid4().hex}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+        # overwrite semantics via swap: replay never double-counts
+        if os.path.isdir(out):
+            import shutil
+
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         if not os.path.isdir(self.lineage_dir):
             return spark.createDataFrame([], LINEAGE_SCHEMA)

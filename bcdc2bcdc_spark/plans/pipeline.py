@@ -145,17 +145,9 @@ class CDCPipeline:
         winners = self.prepare_batch(events)
         self.table.upsert(winners, digest_impl=self.digest_impl, touched=touched)
 
-        spark = events.sparkSession
-        from bcdc2bcdc_spark.schema import LINEAGE_SCHEMA
-
-        lineage_df = spark.createDataFrame(
-            [
-                [r["epoch"], r["partition_id"], r["events_applied"], r["upserts"], r["deletes"], r["bytes"]]
-                for r in lineage_rows
-            ],
-            LINEAGE_SCHEMA,
-        )
-        self.checkpoints.write_lineage(epoch, lineage_df)
+        # rows are already driver-side (the bookkeeping job collected
+        # them) — write them without scheduling a Spark job (guide §1.2)
+        self.checkpoints.write_lineage_rows(epoch, lineage_rows)
         # epoch marker records WHICH table snapshot the epoch produced —
         # the audit link between the offset log and the lake's manifest
         # history (tables without commit sequencing get an opaque id)

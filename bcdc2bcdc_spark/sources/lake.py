@@ -1076,7 +1076,7 @@ class HashBucketParquetTable:
     def read(self) -> DataFrame:
         return self._read_merged_raw().drop("_bucket", "_digest")
 
-    def lookup(self, keys: DataFrame) -> DataFrame:
+    def lookup(self, keys: DataFrame, buckets: Sequence[int] | None = None) -> DataFrame:
         """Point lookup (S5): the current rows for a (small) key set,
         reading ONLY the buckets those keys hash to. The scan is pruned
         three ways at 100 TB: manifest → k/n_buckets of the table's
@@ -1085,13 +1085,17 @@ class HashBucketParquetTable:
         broadcast semi-join keeps only the requested keys. ``keys`` must
         be a DataFrame of exactly the key columns; the touched-bucket
         set is collected driver-side — bounded by n_buckets — like every
-        upsert's."""
+        upsert's. ``buckets`` may pass a precomputed (superset of the)
+        bucket-id set — callers that already scan the key set (e.g. the
+        join-view refresh's one bookkeeping job) then skip this method's
+        own discovery job (guide §1/§2: fewer serial driver-side jobs)."""
         meta = self._meta()
-        kb = keys.select(*self.key_cols).withColumn(
-            "_bucket",
-            _bucket_expr(self._bucket_cols_resolved(meta), self._n_buckets(meta)),
-        )
-        buckets = [r["_bucket"] for r in kb.select("_bucket").distinct().collect()]
+        if buckets is None:
+            kb = keys.select(*self.key_cols).withColumn(
+                "_bucket",
+                _bucket_expr(self._bucket_cols_resolved(meta), self._n_buckets(meta)),
+            )
+            buckets = [r["_bucket"] for r in kb.select("_bucket").distinct().collect()]
         base = self._read_merged_raw(buckets=sorted(set(buckets)), meta=meta)
         return base.join(
             F.broadcast(keys.select(*self.key_cols).distinct()),
@@ -1521,26 +1525,42 @@ class HashBucketParquetTable:
         n_buckets = self._n_buckets(meta)
         bcols = self._bucket_cols_resolved(meta)
         changes_b = changes.withColumn("_bucket", _bucket_expr(bcols, n_buckets))
-        if touched is None:
-            # Touched-bucket set: bounded by n_buckets (collect is O(n_buckets)).
-            touched = [
-                r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()
-            ]
-        touched = sorted(set(touched))
-        if not touched:
-            return  # empty change set: no staging job, no orphan dir
-        if self._write_mode_resolved(meta) == "mor":
-            self._upsert_mor(
-                changes_b, list(compare_cols), digest_impl, base_seq
+        cached = False
+        try:
+            if touched is None:
+                # Touched-bucket set: bounded by n_buckets (collect is
+                # O(n_buckets)). The discovery job executes the caller's
+                # change-set plan — often an expensive derivation
+                # (snapshot_diff, a feed join) — and the staging write
+                # would execute it AGAIN, so materialize it once across
+                # the two (guide §5: cache exactly when a frame is reused
+                # and recomputing costs more than the memory). Callers on
+                # the hot path (CDCPipeline) pass ``touched`` and skip
+                # both the discovery job and this persist.
+                changes_b = changes_b.persist()
+                cached = True
+                touched = [
+                    r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()
+                ]
+            touched = sorted(set(touched))
+            if not touched:
+                return  # empty change set: no staging job, no orphan dir
+            if self._write_mode_resolved(meta) == "mor":
+                self._upsert_mor(
+                    changes_b, list(compare_cols), digest_impl, base_seq
+                )
+                return
+            merged = self._cow_merged_plan(
+                changes_b, list(compare_cols), digest_impl, meta, touched,
+                digests_current=digests_current,
             )
-            return
-        merged = self._cow_merged_plan(
-            changes_b, list(compare_cols), digest_impl, meta, touched,
-            digests_current=digests_current,
-        )
-        # No caching: recomputing the plan is cheaper than materializing it,
-        # and at scale cache memory is better spent on shuffle.
-        self._commit_generation(merged, touched, expected_seq=base_seq)
+            # The merged plan itself is NOT cached: it executes exactly once
+            # (the staging write), and at scale cache memory is better spent
+            # on shuffle.
+            self._commit_generation(merged, touched, expected_seq=base_seq)
+        finally:
+            if cached:
+                changes_b.unpersist()
 
     def _dml_matched(self, predicate) -> DataFrame:
         """Resolve a DML predicate — Column, SQL string, or the predicate
