@@ -439,7 +439,11 @@ def _hyperplane_buckets(
     base = df.select(F.col(id_col).alias("id"), v.alias("v"))
 
     def bit(j: int) -> Column:
-        h = F.array(*[F.lit(s) for s in planes[j]])
+        # the ±1 plane is rendered as ONE parsed SQL array literal — the
+        # F.lit-per-component form cost one py4j round-trip per scalar
+        # (n_planes × dim of them per plan build); integer literals parse
+        # to the identical values (guide §1.2: driver-side work counts)
+        h = F.expr("array(" + ", ".join(str(int(s)) for s in planes[j]) + ")")
         dot = F.aggregate(
             F.zip_with(F.col("v"), h, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )

@@ -282,7 +282,11 @@ class IncrementalJoinView:
                     )
                     .distinct()
                 )
-                cur = self._joined(lrows, self.right.lookup(need))
+                # persist: the recomputed join feeds BOTH the present rows
+                # and the gone anti-join inside the one staging write —
+                # uncached it would execute (and re-read the right-side
+                # buckets) twice in that job
+                cur = self._joined(lrows, self.right.lookup(need)).persist()
                 present = cur.withColumn("op", F.lit(OP_UPDATE))
                 schema = view.data_schema()
                 payload = [f for f in schema.fields if f.name not in lk]
@@ -303,6 +307,7 @@ class IncrementalJoinView:
                         touched=sorted({int(b) for b in row["_vbs"]}),
                     )
                 finally:
+                    cur.unpersist()
                     lrows.unpersist()
         finally:
             keys.unpersist()

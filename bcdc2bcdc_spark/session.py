@@ -34,6 +34,15 @@ _DEFAULT_CONF = {
     # read — pure scheduling overhead for O(n_buckets) tiny dirs. List on
     # the driver instead (object stores: revisit with async listing).
     "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
+    # Scan-split sizing (guide §6): the default 4 MB openCostInBytes floors
+    # the split size, capping a 10 MB input at ~3 scan tasks — the map side
+    # of every aggregation over a small table then runs 3-wide on a 32-core
+    # executor. 128 KB lets bytesPerCore govern small inputs (use all
+    # cores) while LARGE inputs stay governed by maxPartitionBytes, so the
+    # setting is scale-adaptive rather than local-tuned: at 100 TB the
+    # per-core bytes dwarf both constants and split size = maxPartitionBytes
+    # exactly as before.
+    "spark.sql.files.openCostInBytes": "131072",
     # Write path: v2 committer moves task output directly (no serial
     # driver-side job-commit rename pass) and parquet summary files off —
     # both standard large-cluster settings.

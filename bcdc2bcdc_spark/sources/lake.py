@@ -1525,42 +1525,34 @@ class HashBucketParquetTable:
         n_buckets = self._n_buckets(meta)
         bcols = self._bucket_cols_resolved(meta)
         changes_b = changes.withColumn("_bucket", _bucket_expr(bcols, n_buckets))
-        cached = False
-        try:
-            if touched is None:
-                # Touched-bucket set: bounded by n_buckets (collect is
-                # O(n_buckets)). The discovery job executes the caller's
-                # change-set plan — often an expensive derivation
-                # (snapshot_diff, a feed join) — and the staging write
-                # would execute it AGAIN, so materialize it once across
-                # the two (guide §5: cache exactly when a frame is reused
-                # and recomputing costs more than the memory). Callers on
-                # the hot path (CDCPipeline) pass ``touched`` and skip
-                # both the discovery job and this persist.
-                changes_b = changes_b.persist()
-                cached = True
-                touched = [
-                    r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()
-                ]
-            touched = sorted(set(touched))
-            if not touched:
-                return  # empty change set: no staging job, no orphan dir
-            if self._write_mode_resolved(meta) == "mor":
-                self._upsert_mor(
-                    changes_b, list(compare_cols), digest_impl, base_seq
-                )
-                return
-            merged = self._cow_merged_plan(
-                changes_b, list(compare_cols), digest_impl, meta, touched,
-                digests_current=digests_current,
+        if touched is None:
+            # Touched-bucket set: bounded by n_buckets (collect is
+            # O(n_buckets)). This job executes the caller's change plan
+            # once ahead of the staging write — callers whose change set
+            # is an expensive derivation should persist it or pass
+            # ``touched`` (CDCPipeline, delete_where/update_where and the
+            # join-view refresh all do); an unconditional persist here was
+            # measured to ADD ~0.2 s to the 1-row commit floor while
+            # saving nothing for those callers.
+            touched = [
+                r["_bucket"] for r in changes_b.select("_bucket").distinct().collect()
+            ]
+        touched = sorted(set(touched))
+        if not touched:
+            return  # empty change set: no staging job, no orphan dir
+        if self._write_mode_resolved(meta) == "mor":
+            self._upsert_mor(
+                changes_b, list(compare_cols), digest_impl, base_seq
             )
-            # The merged plan itself is NOT cached: it executes exactly once
-            # (the staging write), and at scale cache memory is better spent
-            # on shuffle.
-            self._commit_generation(merged, touched, expected_seq=base_seq)
-        finally:
-            if cached:
-                changes_b.unpersist()
+            return
+        merged = self._cow_merged_plan(
+            changes_b, list(compare_cols), digest_impl, meta, touched,
+            digests_current=digests_current,
+        )
+        # No caching of the merged plan: it executes exactly once (the
+        # staging write), and at scale cache memory is better spent on
+        # shuffle.
+        self._commit_generation(merged, touched, expected_seq=base_seq)
 
     def _dml_matched(self, predicate) -> DataFrame:
         """Resolve a DML predicate — Column, SQL string, or the predicate
@@ -1604,9 +1596,20 @@ class HashBucketParquetTable:
             .persist()  # one scan serves count + touched discovery + merge
         )
         try:
-            n = changes.count()
+            # ONE job yields the victim count AND the touched buckets
+            # (bounded by n_buckets), so the upsert skips its own
+            # discovery job (guide §1.2: fewer serial passes)
+            row = changes.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.collect_set(self.bucket_expr()).alias("_b"),
+            ).first()
+            n = int(row["_n"])
             if n:
-                self.upsert(changes, digest_impl=digest_impl)
+                self.upsert(
+                    changes,
+                    digest_impl=digest_impl,
+                    touched=sorted(int(b) for b in row["_b"]),
+                )
         finally:
             changes.unpersist()
         return n
@@ -1662,9 +1665,18 @@ class HashBucketParquetTable:
             .persist()  # one scan serves count + touched discovery + merge
         )
         try:
-            n = changes.count()
+            # fused count + touched-bucket discovery — see delete_where
+            row = changes.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.collect_set(self.bucket_expr()).alias("_b"),
+            ).first()
+            n = int(row["_n"])
             if n:
-                self.upsert(changes, digest_impl=digest_impl)
+                self.upsert(
+                    changes,
+                    digest_impl=digest_impl,
+                    touched=sorted(int(b) for b in row["_b"]),
+                )
         finally:
             changes.unpersist()
         return n
