@@ -206,3 +206,28 @@ def lineage_metrics(batch: DataFrame, epoch: int, bucket_expr: Column | None = N
         F.lit(epoch).cast("long").alias("epoch"),
         F.spark_partition_id().alias("partition_id"),
     ).agg(*aggs)
+
+
+def lineage_metrics_epochs(
+    events: DataFrame, epoch_col: str, bucket_expr: Column | None = None
+) -> DataFrame:
+    """``lineage_metrics`` for EVERY epoch in one job: grouped by the
+    epoch column instead of a literal, so a multi-epoch run pays one
+    bookkeeping pass over the input rather than one per epoch plus a
+    separate distinct-epochs probe (guide §1.2: fewer serial passes).
+    Row set per epoch is identical to the per-epoch form — an epoch
+    filter does not change ``spark_partition_id`` assignments."""
+    aggs = [
+        F.count(F.lit(1)).alias("events_applied"),
+        F.sum(F.when(F.col("op") != OP_DELETE, 1).otherwise(0)).alias("upserts"),
+        F.sum(F.when(F.col("op") == OP_DELETE, 1).otherwise(0)).alias("deletes"),
+        F.sum(F.coalesce(F.octet_length("content"), F.lit(0))).cast("long").alias("bytes"),
+        F.min("event_seq").alias("_offset_lo"),
+        F.max("event_seq").alias("_offset_hi"),
+    ]
+    if bucket_expr is not None:
+        aggs.append(F.collect_set(bucket_expr).alias("_buckets"))
+    return events.groupBy(
+        F.col(epoch_col).cast("long").alias("epoch"),
+        F.spark_partition_id().alias("partition_id"),
+    ).agg(*aggs)

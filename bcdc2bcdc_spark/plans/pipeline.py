@@ -105,13 +105,31 @@ class CDCPipeline:
             n_salts=self.n_salts,
         )
 
-    def apply_epoch(self, events: DataFrame, epoch: int) -> bool:
+    def _bucket_expr_for_lineage(self):
+        bucket_expr = None
+        if hasattr(self.table, "bucket_expr"):
+            bucket_expr = self.table.bucket_expr()
+            if self.ignore_repos:
+                # ignored repos never reach the table; don't read their buckets
+                bucket_expr = F.when(
+                    ~F.col("repo").isin(*self.ignore_repos), bucket_expr
+                )
+        return bucket_expr
+
+    def apply_epoch(
+        self, events: DataFrame, epoch: int, lineage_rows: list | None = None
+    ) -> bool:
         """Apply one epoch; returns False if it was already committed.
 
         Commit order: data upsert → lineage append → offset marker. A crash
         anywhere before the marker causes a replay whose upsert is
         deterministic + idempotent, so the final table is unaffected;
         lineage appends are reconciled by reading only committed epochs.
+
+        ``lineage_rows`` may pass this epoch's PRECOMPUTED bookkeeping
+        rows (``run()`` computes every epoch's in one job); they are a
+        pure function of the input batch, so crash-replay semantics are
+        unchanged.
         """
         if self.checkpoints.is_committed(epoch):
             return False
@@ -121,20 +139,16 @@ class CDCPipeline:
         # canonicalize→dedup→merge plan exactly once. Crash order is safe:
         # lineage is overwrite-idempotent, the upsert is idempotent, the
         # marker is last.
-        bucket_expr = None
-        if hasattr(self.table, "bucket_expr"):
-            bucket_expr = self.table.bucket_expr()
-            if self.ignore_repos:
-                # ignored repos never reach the table; don't read their buckets
-                bucket_expr = F.when(
-                    ~F.col("repo").isin(*self.ignore_repos), bucket_expr
-                )
-        lineage_rows = lineage_metrics(events, epoch, bucket_expr).collect()
+        bucket_expr = self._bucket_expr_for_lineage()
+        if lineage_rows is None:
+            lineage_rows = lineage_metrics(events, epoch, bucket_expr).collect()
         lo = min((r["_offset_lo"] for r in lineage_rows), default=-1)
         hi = max((r["_offset_hi"] for r in lineage_rows), default=-1)
         touched = None
         if bucket_expr is not None:
-            touched = sorted({b for r in lineage_rows for b in (r["_buckets"] or [])})
+            touched = sorted(
+                {b for r in lineage_rows for b in (r["_buckets"] or []) if b is not None}
+            )
 
         if self.quarantine_dir is not None:
             # dead-letter: overwrite-per-epoch (replay-idempotent like lineage)
@@ -172,16 +186,29 @@ class CDCPipeline:
 
     def run(self, events: DataFrame, epoch_col: str = "epoch") -> dict[int, bool]:
         """Apply every epoch present in ``events`` in ascending order,
-        skipping committed ones (resume-after-kill entrypoint)."""
-        epochs = sorted(
-            r[epoch_col] for r in events.select(epoch_col).distinct().collect()
-        )
+        skipping committed ones (resume-after-kill entrypoint).
+
+        ONE bookkeeping pass up front yields the epoch list AND every
+        epoch's lineage/offset/touched-bucket rows (formerly a
+        distinct-epochs probe plus one bookkeeping job per epoch —
+        guide §1.2); ``apply_epoch`` then runs exactly one Spark job per
+        epoch, the merge write."""
+        from bcdc2bcdc_spark.plans.checkpoint import lineage_metrics_epochs
+
+        all_rows = lineage_metrics_epochs(
+            events, epoch_col, self._bucket_expr_for_lineage()
+        ).collect()
+        by_epoch: dict[int, list] = {}
+        for r in all_rows:
+            by_epoch.setdefault(int(r["epoch"]), []).append(r)
         results: dict[int, bool] = {}
         self.checkpoints.acquire_writer_lock()
         try:
-            for ep in epochs:
+            for ep in sorted(by_epoch):
                 batch = events.filter(F.col(epoch_col) == ep).drop(epoch_col)
-                results[ep] = self.apply_epoch(batch, int(ep))
+                results[ep] = self.apply_epoch(
+                    batch, int(ep), lineage_rows=by_epoch[ep]
+                )
         finally:
             self.checkpoints.release_writer_lock()
         return results
