@@ -598,41 +598,89 @@ class HashBucketParquetTable:
             ranks.append(_z_rank(s, uniq) if uniq else F.lit(0))
         return _z_interleave(ranks)
 
+    #: arrow types whose parquet footer stats we trust for bounds — the
+    #: arrow mirror of ``_STATS_TYPES`` (date/timestamp/decimal stay out of
+    #: scope, exactly like the Spark-side set)
+    @staticmethod
+    def _arrow_stats_ok(t) -> bool:
+        import pyarrow as pa
+
+        return (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+        )
+
     def _collect_gen_stats(self, out: str) -> dict:
         """Per-bucket min/max/nonnull for the declared stats columns over a
-        FRESHLY WRITTEN generation: one column-pruned aggregate over only
-        that generation's files — cost O(written bytes of the stats
-        columns), never a table scan, zero when no stats_cols are declared.
-        Collected rows are O(touched buckets), the same driver-side bound
-        as the write's own bucket listing."""
+        FRESHLY WRITTEN generation, read from the files' parquet FOOTERS
+        (row-group statistics + null counts): O(files) driver-side metadata
+        reads, ZERO data scanned and ZERO Spark jobs — the
+        manifests-from-file-metadata pattern Iceberg uses (guide §6;
+        formerly one aggregate job over the written bytes per commit).
+
+        Conservative by construction: a column whose stats any row group
+        omits (e.g. huge binary values, NaN-bearing floats — writers drop
+        min/max for those) simply leaves that bucket's entry, and a missing
+        entry can never exclude a bucket on the read side. A column that is
+        entirely NULL in a bucket yields the same ``{min: None, max: None,
+        nonnull: 0}`` entry the old aggregate produced."""
         scols = self._stats_cols_resolved()
         if not scols:
             return {}
-        df = self.spark.read.parquet(out)
-        present = [
-            c
-            for c in scols
-            if c in df.columns and isinstance(df.schema[c].dataType, _STATS_TYPES)
-        ]
-        if not present:
-            return {}
-        aggs = []
-        for c in present:
-            aggs += [
-                F.min(c).alias(f"__mn_{c}"),
-                F.max(c).alias(f"__mx_{c}"),
-                F.count(c).alias(f"__nn_{c}"),
-            ]
+        import pyarrow.parquet as pq
+
         stats: dict = {}
-        for r in df.groupBy("_bucket").agg(*aggs).collect():
-            stats[str(int(r["_bucket"]))] = {
-                c: {
-                    "min": r[f"__mn_{c}"],
-                    "max": r[f"__mx_{c}"],
-                    "nonnull": int(r[f"__nn_{c}"]),
-                }
-                for c in present
+        for d in sorted(self.fs.list_subdirs(out)):
+            if not d.startswith("_bucket="):
+                continue
+            bdir = os.path.join(out, d)
+            # col -> [min, max, nonnull]; None value = stats unusable
+            acc: dict[str, list | None] = {}
+            for fname in self.fs.list_files(bdir, ".parquet"):
+                md = pq.read_metadata(os.path.join(bdir, fname))
+                arrow_schema = md.schema.to_arrow_schema()
+                names = set(arrow_schema.names)
+                present = [
+                    c
+                    for c in scols
+                    if c in names
+                    and self._arrow_stats_ok(arrow_schema.field(c).type)
+                ]
+                if not present:
+                    continue
+                # map column name -> index once per file
+                idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+                for c in present:
+                    if acc.get(c, []) is None or c not in idx:
+                        continue
+                    for rg in range(md.num_row_groups):
+                        col = md.row_group(rg).column(idx[c])
+                        st = col.statistics
+                        nrows = md.row_group(rg).num_rows
+                        if st is None or st.null_count is None:
+                            acc[c] = None  # cannot even count non-nulls
+                            break
+                        nonnull = nrows - st.null_count
+                        cur = acc.setdefault(c, [None, None, 0])
+                        cur[2] += nonnull
+                        if nonnull == 0:
+                            continue  # all-NULL group: no bounds to merge
+                        if not st.has_min_max:
+                            acc[c] = None  # values present but unbounded
+                            break
+                        mn, mx = st.min, st.max
+                        cur[0] = mn if cur[0] is None else min(cur[0], mn)
+                        cur[1] = mx if cur[1] is None else max(cur[1], mx)
+            entry = {
+                c: {"min": v[0], "max": v[1], "nonnull": int(v[2])}
+                for c, v in acc.items()
+                if v is not None
             }
+            if entry:
+                stats[str(int(d.split("=", 1)[1]))] = entry
         return stats
 
     def _stats_cols_resolved(self, meta: dict | None = None) -> list[str]:
