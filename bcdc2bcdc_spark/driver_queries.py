@@ -4573,7 +4573,11 @@ def q_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.init(dest)
         delta = _delta_of(states)  # == snapshot_diff(src, dest, canonicalize=False)
-        t.upsert(delta)
+        # the half→full delta spans every bucket at any sf (≈half the key
+        # universe changes); ``touched`` accepts a superset, so passing the
+        # full bucket range skips the upsert's discovery job — the change
+        # plan then executes exactly once, in the staging write
+        t.upsert(delta, touched=list(range(16)))
         restored = t.restore(1)
         if restored != 3:
             raise AssertionError(f"expected restore commit 3, got {restored}")
@@ -4665,7 +4669,9 @@ def q_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             left, right, f"{work}/view", on=("lang",), how="inner", n_buckets=16
         )
         view.build()
-        left.upsert(_delta_of(states))  # == snapshot_diff(src, dest, canonicalize=False)
+        # touched superset: the half→full delta spans every fact bucket —
+        # see q_restore_rollback
+        left.upsert(_delta_of(states), touched=list(range(16)))
         right.upsert(
             spark.createDataFrame(
                 [("F", "fam-F2", "UPDATE")], "lang string, family string, op string"
